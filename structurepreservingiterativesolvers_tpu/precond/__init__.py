@@ -1,1 +1,1 @@
-
+from .base import IdentityPreconditioner, as_preconditioner  # noqa: F401

@@ -1,1 +1,1 @@
-
+from .gmres import gmres  # noqa: F401

@@ -1,0 +1,123 @@
+"""Flexible GMRES (FGMRES), jit-compiled end to end.
+
+Capability parity with the reference's hand-rolled ``gmres`` (reference
+``solvers.py:58-127``): right preconditioning with the flexible Z-basis
+reconstruction, modified-Gram-Schmidt Arnoldi, per-iteration true residual
+‖Ax−b‖, breakdown detection, and the same ``(x, info)`` output contract.
+
+TPU-first differences (by design, not omission):
+
+* the entire iteration is one compiled ``lax.while_loop`` — no host↔device
+  round-trips per iteration;
+* the Hessenberg least-squares uses incremental Givens QR instead of
+  ``np.linalg.lstsq`` (reference solvers.py:113), so coefficients cost O(k²)
+  per iteration and a residual estimate is available for free;
+* ``true_residual=False`` switches convergence checks to the Givens estimate,
+  dropping one SpMV per iteration (the default keeps the reference's exact
+  true-residual semantics).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..precond.base import as_preconditioner
+from .arnoldi import (
+    ArnoldiState,
+    arnoldi_step,
+    init_state,
+    lsq_coeffs,
+    lsq_residual_estimate,
+)
+
+
+class GmresResult(NamedTuple):
+    x: jnp.ndarray
+    res: jnp.ndarray  # (k,) true residual per iteration (inf where unused)
+    steps: jnp.ndarray  # number of iterations performed
+    breakdown: jnp.ndarray  # bool
+    xs: Optional[jnp.ndarray]  # (k+1, n) iterate history, or None
+
+
+@lru_cache(maxsize=64)
+def _build_core(k: int, prefunc, history: bool, true_residual: bool):
+    @jax.jit
+    def core(A, b, x0, tol) -> GmresResult:
+        n = b.shape[0]
+        r0 = b - A @ x0
+        beta = jnp.linalg.norm(r0)
+        st0 = init_state(r0, beta, k)
+
+        res0 = jnp.full((k,), jnp.inf, b.dtype)
+        # History slot 0 mirrors the reference quirk of storing the initial
+        # residual vector as x[0] (reference solvers.py:75-80); consumers
+        # iterate from index 1.
+        xs0 = jnp.zeros((k + 1, n), b.dtype).at[0].set(r0) if history else None
+
+        def cond(carry):
+            st, j, x, res, done, brk, xs = carry
+            return (j < k) & ~done
+
+        def body(carry):
+            st, j, x, res, done, brk, xs = carry
+            st, hlast = arnoldi_step(A, prefunc, st, j)
+            brk_now = hlast == 0
+            y = lsq_coeffs(st, j)
+            x = y @ st.Z + x0
+            if true_residual:
+                r = jnp.linalg.norm(A @ x - b)
+            else:
+                r = lsq_residual_estimate(st, j)
+            res = res.at[j].set(r)
+            if history:
+                xs = xs.at[j + 1].set(x)
+            done = (r < tol) | brk_now
+            return (st, j + 1, x, res, done, brk | brk_now, xs)
+
+        init = (st0, jnp.int32(0), x0, res0, beta < tol, jnp.bool_(False), xs0)
+        st, j, x, res, done, brk, xs = lax.while_loop(cond, body, init)
+        return GmresResult(x=x, res=res, steps=j, breakdown=brk, xs=xs)
+
+    return core
+
+
+def gmres(
+    A,
+    b,
+    x0=None,
+    k: int = 30,
+    tol: float = 1e-50,
+    pre=None,
+    history: bool = False,
+    true_residual: bool = True,
+):
+    """Solve ``A x = b`` with right-preconditioned flexible GMRES.
+
+    Returns ``(x, info)`` where ``info`` matches the reference contract
+    (reference solvers.py:122-127): ``name``, per-iteration residuals
+    ``res`` (trimmed to performed steps), ``steps``, and — when
+    ``history=True`` — the iterate history ``x`` whose index 0 holds the
+    initial residual vector.
+    """
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    prefunc = as_preconditioner(pre)
+    core = _build_core(int(k), prefunc, bool(history), bool(true_residual))
+    out = core(A, b, x0, jnp.asarray(tol, b.dtype))
+
+    steps = int(out.steps)
+    info = {
+        "name": "gmres",
+        "res": np.asarray(out.res[:steps]),
+        "steps": steps,
+        "breakdown": bool(out.breakdown),
+    }
+    if history:
+        info["x"] = np.asarray(out.xs[: steps + 1])
+    return out.x, info
