@@ -1,1 +1,8 @@
-
+from .quadratic import (  # noqa: F401
+    MatComb,
+    QuadraticConstraint,
+    ReducedBuffers,
+    StageKron,
+    constraint_checker,
+    stage_mapped,
+)

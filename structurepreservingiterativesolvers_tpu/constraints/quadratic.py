@@ -1,0 +1,220 @@
+"""Quadratic invariant constraints and their reduction onto Krylov coefficients.
+
+A structure constraint is ``g(x) = ½ xᵀ M x + vᵀ x + c = 0`` (mass is the
+linear special case M = 0).  The reference compiles such a constraint onto the
+Krylov coefficient space by forming ``MZ = M @ Z`` from scratch at every
+constrained iteration (reference ``solvers.py:21-53``), an O(nnz·j) rebuild.
+
+Here the reduction is *incremental*: each Arnoldi step appends one
+preconditioned vector ``z_j``, so the reduced data gains
+
+* ``t1[j]  = v·z_j + (M z_j)·x0``            — one SpMV + two dots
+* ``T2[:,j] = T2[j,:] = ½ Z (M z_j)``        — one tall-dense matvec
+
+after which the reduced constraint is the tiny dense form
+``g(y) = t0 + t1·y + yᵀ T2 y`` with Jacobian ``t1 + 2 T2 y`` (M symmetric,
+as all reference invariant matrices are).  When the solver enters the
+constrained endgame mid-flight it catches up with a single MXU-batched SpMM
+over the existing basis instead of j separate rebuilds.
+
+``M`` may be a sparse/dense matrix, a linear combination of matrices
+(``MatComb``, e.g. energy's ``L − M``, reference lkdv/LinearSolver.py:40-44),
+or a stage-mapped operator (``StageKron``) expressing the Runge–Kutta
+constraint chain ``z1 = z0 + dt Σ b_s X_s`` (reference lkdvRK/lkdvRK.py:162-189,
+lkdvRK/LinearSolver.py:29-76) as a pure quadratic in the stage vector — which
+turns the reference's slow dict-form path into the fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sparse import _register
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class MatComb:
+    """Linear combination  Σ coeff_i · A_i  as a matrix-free operator."""
+
+    coeffs: Tuple[float, ...]  # static
+    mats: Tuple[Any, ...]  # pytree children (sparse/dense matrices)
+
+    _static = ("coeffs",)
+
+    def __matmul__(self, x):
+        out = self.coeffs[0] * (self.mats[0] @ x)
+        for c, A in zip(self.coeffs[1:], self.mats[1:]):
+            out = out + c * (A @ x)
+        return out
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class StageKron:
+    """Pᵀ M P where P maps a stacked stage vector X (ns·n0,) to
+    ``dt Σ_s b_s X_s`` (n0,) — the linear part of the RK reconstruction
+    z1 = z0 + dt Σ b_s X_s (reference lkdvRK/lkdvRK.py:162-174).
+
+    Applying PᵀMP needs one inner-space SpMV regardless of stage count.
+    """
+
+    inner: Any  # operator on the n0 space
+    b: jnp.ndarray  # (ns,) RK weights
+    dt: float  # static
+    ns: int  # static
+
+    _static = ("dt", "ns")
+
+    def _P(self, X):
+        Xs = X.reshape(self.ns, -1)
+        return self.dt * jnp.tensordot(self.b, Xs, axes=1)
+
+    def _Pt(self, w):
+        return (self.dt * jnp.outer(self.b, w)).reshape(-1)
+
+    def __matmul__(self, X):
+        if X.ndim == 1:
+            return self._Pt(self.inner @ self._P(X))
+        # (N, m) tall-dense right-hand side, applied columnwise
+        Xs = X.reshape(self.ns, -1, X.shape[1])
+        PX = self.dt * jnp.tensordot(self.b, Xs, axes=1)  # (n0, m)
+        MPX = self.inner @ PX
+        return (self.dt * self.b[:, None, None] * MPX[None]).reshape(-1, X.shape[1])
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class QuadraticConstraint:
+    """g(x) = ½ xᵀ M x + vᵀ x + c.  ``M``/``v`` may be None (zero)."""
+
+    M: Optional[Any]
+    v: Optional[jnp.ndarray]
+    c: jnp.ndarray
+    name: str = "constraint"
+
+    _static = ("name",)
+
+    def __call__(self, x):
+        out = jnp.asarray(self.c, x.dtype)
+        if self.v is not None:
+            out = out + jnp.dot(self.v, x)
+        if self.M is not None:
+            out = out + 0.5 * jnp.dot(x, self.M @ x)
+        return out
+
+    def grad(self, x):
+        out = jnp.zeros_like(x)
+        if self.v is not None:
+            out = out + self.v
+        if self.M is not None:
+            out = out + self.M @ x  # symmetric M
+        return out
+
+
+def stage_mapped(
+    inner: QuadraticConstraint,
+    b: jnp.ndarray,
+    dt: float,
+    ns: int,
+    z0: jnp.ndarray,
+) -> QuadraticConstraint:
+    """Compose a quadratic constraint on z1-space with the affine RK map
+    ``z1 = z0 + P X`` to get an equivalent quadratic on stage space.
+
+    This replaces the reference's general dict-form constraints
+    (lkdvRK/LinearSolver.py:29-76) — which re-evaluate ``z1calc`` chains
+    inside every SLSQP function call — with the compiled fast path.
+    """
+    Mz0 = inner.M @ z0 if inner.M is not None else jnp.zeros_like(z0)
+    v_in = inner.v if inner.v is not None else jnp.zeros_like(z0)
+    w = Mz0 + v_in
+    Pt_w = (dt * jnp.outer(b, w)).reshape(-1)
+    c_new = inner.c + jnp.dot(v_in, z0) + 0.5 * jnp.dot(z0, Mz0)
+    M_new = StageKron(inner.M, jnp.asarray(b), float(dt), int(ns)) if inner.M is not None else None
+    return QuadraticConstraint(M=M_new, v=Pt_w, c=c_new, name=inner.name)
+
+
+class ReducedBuffers(NamedTuple):
+    """Per-constraint reduced data over the Krylov coefficient space."""
+
+    t0: jnp.ndarray  # scalar
+    t1: jnp.ndarray  # (k,)
+    T2: jnp.ndarray  # (k, k)
+
+
+def init_buffers(con: QuadraticConstraint, x0: jnp.ndarray, k: int) -> ReducedBuffers:
+    t0 = con(x0)
+    return ReducedBuffers(
+        t0=t0, t1=jnp.zeros(k, x0.dtype), T2=jnp.zeros((k, k), x0.dtype)
+    )
+
+
+def update_buffers(
+    con: QuadraticConstraint,
+    buf: ReducedBuffers,
+    Z: jnp.ndarray,  # (k, n) Krylov Z-basis rows (row j freshly set)
+    x0: jnp.ndarray,
+    j: jnp.ndarray,
+) -> ReducedBuffers:
+    """Fold the new basis vector Z[j] into the reduced constraint."""
+    zj = Z[j]
+    t1j = jnp.zeros((), x0.dtype)
+    if con.v is not None:
+        t1j = t1j + jnp.dot(con.v, zj)
+    T2 = buf.T2
+    if con.M is not None:
+        u = con.M @ zj
+        t1j = t1j + jnp.dot(u, x0)
+        w = 0.5 * (Z @ u)  # (k,) — rows beyond the active prefix are zero
+        T2 = T2.at[j, :].set(w).at[:, j].set(w)
+    return ReducedBuffers(t0=buf.t0, t1=buf.t1.at[j].set(t1j), T2=T2)
+
+
+def catchup_buffers(
+    con: QuadraticConstraint,
+    buf: ReducedBuffers,
+    Z: jnp.ndarray,
+    x0: jnp.ndarray,
+) -> ReducedBuffers:
+    """Recompute the full reduction in one batched pass (phase-entry catch-up).
+
+    Inactive rows of Z are zero, so the result is correct for any active
+    prefix; cost is one SpMM + one (k,n)·(n,k) MXU matmul.
+    """
+    t1 = jnp.zeros(Z.shape[0], x0.dtype)
+    T2 = jnp.zeros((Z.shape[0], Z.shape[0]), x0.dtype)
+    if con.v is not None:
+        t1 = t1 + Z @ con.v
+    if con.M is not None:
+        U = con.M @ Z.T  # (n, k) SpMM
+        t1 = t1 + U.T @ x0
+        T2 = 0.5 * (Z @ U)
+    return ReducedBuffers(t0=buf.t0, t1=t1, T2=T2)
+
+
+def reduced_value(buf: ReducedBuffers, y: jnp.ndarray) -> jnp.ndarray:
+    return buf.t0 + jnp.dot(buf.t1, y) + jnp.dot(y, buf.T2 @ y)
+
+
+def reduced_grad(buf: ReducedBuffers, y: jnp.ndarray) -> jnp.ndarray:
+    return buf.t1 + 2.0 * (buf.T2 @ y)
+
+
+def reduced_hess(buf: ReducedBuffers) -> jnp.ndarray:
+    return 2.0 * buf.T2
+
+
+def constraint_checker(x: jnp.ndarray, cons: Sequence[QuadraticConstraint]):
+    """Maximum absolute constraint deviation at x.
+
+    The reference's checker takes a signed max (reference solvers.py:14-18,
+    a quirk noted in its own docs); we use |·| — strictly safer for the
+    safety latch.
+    """
+    devs = jnp.stack([jnp.abs(c(x)) for c in cons])
+    return jnp.max(devs)

@@ -1,1 +1,1 @@
-
+from . import fem1d, lkdv  # noqa: F401

@@ -1,1 +1,2 @@
+from .cgmres import cgmres, cgmres_p  # noqa: F401
 from .gmres import gmres  # noqa: F401

@@ -1,0 +1,137 @@
+"""On-device equality-constrained least-squares over Krylov coefficients.
+
+Replaces scipy's SLSQP (reference ``solvers.py:231,251,274,411,420``) with a
+damped Lagrange–Newton (SQP) iteration on the KKT conditions of
+
+    min_y ‖β e1 − H y‖²   s.t.   g_i(y) = 0,  i = 1..m
+
+where each g_i is the reduced quadratic ``t0 + t1·y + yᵀT2 y``.  The problem
+is tiny (k ≤ ~50 coefficients, m ≤ ~3 constraints) and dense, so the whole
+solve is a handful of (k+m)² linear solves — ideal device code, no host
+round-trip.  Exact Hessians of both objective (2HᵀH) and constraints (2T2)
+are available, giving quadratic local convergence; a backtracking line search
+on the KKT-residual norm provides the globalisation SLSQP's merit function
+provides in the reference.
+
+Masking: coefficients beyond the active Arnoldi prefix and constraints not
+yet enforced (the prototypical solver enforces them one-by-one, reference
+``solvers.py:413``) are pinned via unit diagonal rows, so every solve has the
+same static shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constraints.quadratic import ReducedBuffers, reduced_grad, reduced_value
+
+
+class KKTResult(NamedTuple):
+    y: jnp.ndarray  # (k,) minimiser (inactive coords zero)
+    lam: jnp.ndarray  # (m,) multipliers
+    deviation: jnp.ndarray  # max |g_i(y)| over enforced constraints
+    kkt_norm: jnp.ndarray  # final KKT residual norm
+    iters: jnp.ndarray
+
+
+def _constraint_eval(bufs, y, con_mask):
+    g = jnp.stack([reduced_value(b, y) for b in bufs])
+    J = jnp.stack([reduced_grad(b, y) for b in bufs])
+    return g * con_mask, J * con_mask[:, None]
+
+
+def constrained_lsq(
+    H: jnp.ndarray,  # (k+1, k); columns beyond active prefix are zero
+    beta: jnp.ndarray,
+    bufs: Tuple[ReducedBuffers, ...],
+    y0: jnp.ndarray,  # (k,) warm start (inactive coords zero)
+    active: jnp.ndarray,  # (k,) bool — active coefficient mask
+    con_mask: jnp.ndarray,  # (m,) float — 1 for enforced constraints
+    maxiter: int = 40,
+    kkt_tol: float = 1e-13,
+) -> KKTResult:
+    k = H.shape[1]
+    m = len(bufs)
+    dt = H.dtype
+    act = active.astype(dt)
+
+    G2 = 2.0 * (H.T @ H)  # objective Hessian
+    bf = 2.0 * beta * H[0, :]  # 2 Hᵀ (β e1)
+
+    def kkt_residual(y, lam):
+        g, J = _constraint_eval(bufs, y, con_mask)
+        grad_f = G2 @ y - bf
+        rL = (grad_f + J.T @ lam) * act
+        return jnp.concatenate([rL, g]), g, J
+
+    def newton_system(y, lam):
+        g, J = _constraint_eval(bufs, y, con_mask)
+        W = G2
+        for i, b in enumerate(bufs):
+            W = W + (2.0 * lam[i] * con_mask[i]) * b.T2
+        # pin inactive coefficients
+        W = act[:, None] * W * act[None, :] + jnp.diag(1.0 - act)
+        Jm = J * act[None, :]
+        D = jnp.diag(1.0 - con_mask)  # pin multipliers of unenforced constraints
+        K = jnp.block([[W, Jm.T], [Jm, D]])
+        grad_f = G2 @ y - bf
+        rL = (grad_f + J.T @ lam) * act
+        rhs = -jnp.concatenate([rL, g])
+        return K, rhs
+
+    def body(carry):
+        y, lam, _, it = carry
+        K, rhs = newton_system(y, lam)
+        step = jnp.linalg.solve(K, rhs)
+        dy, dlam = step[:k] * act, step[k:] * con_mask
+
+        r_now, _, _ = kkt_residual(y, lam)
+        phi0 = jnp.dot(r_now, r_now)
+
+        def try_alpha(carry2):
+            alpha, _, _ = carry2
+            yn = y + alpha * dy
+            ln = lam + alpha * dlam
+            rn, _, _ = kkt_residual(yn, ln)
+            phin = jnp.dot(rn, rn)
+            ok = phin <= (1.0 - 1e-4 * alpha) * phi0
+            return alpha, ok, phin
+
+        def bt_cond(carry2):
+            alpha, ok, _ = carry2
+            return (~ok) & (alpha > 1e-4)
+
+        def bt_body(carry2):
+            alpha, _, _ = carry2
+            return try_alpha((alpha * 0.5, False, phi0))
+
+        alpha0, ok0, phi_n = try_alpha((jnp.asarray(1.0, dt), False, phi0))
+        alpha, ok, _ = lax.while_loop(bt_cond, bt_body, (alpha0, ok0, phi_n))
+        # take the (possibly tiny) step even if no decrease was found —
+        # matches SLSQP's behaviour of returning its last iterate
+        y = y + alpha * dy
+        lam = lam + alpha * dlam
+        r_new, _, _ = kkt_residual(y, lam)
+        return y, lam, jnp.linalg.norm(r_new), it + 1
+
+    # relative threshold: the KKT residual scales with the objective gradient
+    thresh = kkt_tol * (1.0 + jnp.linalg.norm(bf))
+
+    def cond(carry):
+        _, _, rnorm, it = carry
+        return (rnorm > thresh) & (it < maxiter)
+
+    y0 = y0 * act
+    lam0 = jnp.zeros(m, dt)
+    r0, _, _ = kkt_residual(y0, lam0)
+    y, lam, rnorm, iters = lax.while_loop(
+        cond, body, (y0, lam0, jnp.linalg.norm(r0), jnp.int32(0))
+    )
+    g, _ = _constraint_eval(bufs, y, con_mask)
+    return KKTResult(
+        y=y, lam=lam, deviation=jnp.max(jnp.abs(g)), kkt_norm=rnorm, iters=iters
+    )
