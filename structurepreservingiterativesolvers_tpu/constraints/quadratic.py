@@ -209,6 +209,19 @@ def reduced_hess(buf: ReducedBuffers) -> jnp.ndarray:
     return 2.0 * buf.T2
 
 
+def reduced_scale(buf: ReducedBuffers, y: jnp.ndarray) -> jnp.ndarray:
+    """Roundoff scale of the reduced constraint evaluation: the sum of the
+    magnitudes of its summands.  |g(y)| cannot be certified below
+    O(eps)·scale in finite precision — e.g. an O(1e4) energy invariant can
+    only be enforced to ~1e-12 absolute in f64.  The solver's safety latch
+    uses this floor."""
+    return (
+        jnp.abs(buf.t0)
+        + jnp.sum(jnp.abs(buf.t1 * y))
+        + jnp.sum(jnp.abs(y[:, None] * buf.T2 * y[None, :]))
+    )
+
+
 def constraint_checker(x: jnp.ndarray, cons: Sequence[QuadraticConstraint]):
     """Maximum absolute constraint deviation at x.
 

@@ -1,0 +1,101 @@
+"""2-D P1 finite-element assembly on structured triangulations (pure numpy).
+
+Rebuilds the operators the reference obtains from Firedrake's
+``UnitSquareMesh`` for the heat problem (reference ``heat/heat.py:35-121``):
+P1 mass and stiffness matrices on an M×M square grid split into right
+triangles, plus the integration vector and L2 projection.  Natural (Neumann)
+boundary — no BC rows, matching the reference weak form.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+class SpaceP1:
+    """P1 Lagrange space on an M×M structured triangulation of [0,L]²."""
+
+    def __init__(self, M: int, length: float = 1.0):
+        self.M = M
+        self.L = float(length)
+        self.h = self.L / M
+        self.nv = (M + 1) * (M + 1)
+
+        # vertices
+        ii, jj = np.meshgrid(np.arange(M + 1), np.arange(M + 1), indexing="ij")
+        self.xy = np.stack([ii.ravel() * self.h, jj.ravel() * self.h], axis=1)
+
+        # two triangles per cell, diagonal lower-left → upper-right
+        def vid(i, j):
+            return i * (M + 1) + j
+
+        cells = []
+        for i in range(M):
+            for j in range(M):
+                v00, v10 = vid(i, j), vid(i + 1, j)
+                v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+                cells.append((v00, v10, v11))
+                cells.append((v00, v11, v01))
+        self.tri = np.asarray(cells)  # (nt, 3)
+
+    def _geometry(self):
+        p = self.xy[self.tri]  # (nt, 3, 2)
+        d1 = p[:, 1] - p[:, 0]
+        d2 = p[:, 2] - p[:, 0]
+        det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        area = 0.5 * np.abs(det)
+        # gradients of barycentric basis: grad λ_a
+        b = np.empty((len(self.tri), 3, 2))
+        b[:, 0, 0] = p[:, 1, 1] - p[:, 2, 1]
+        b[:, 0, 1] = p[:, 2, 0] - p[:, 1, 0]
+        b[:, 1, 0] = p[:, 2, 1] - p[:, 0, 1]
+        b[:, 1, 1] = p[:, 0, 0] - p[:, 2, 0]
+        b[:, 2, 0] = p[:, 0, 1] - p[:, 1, 1]
+        b[:, 2, 1] = p[:, 1, 0] - p[:, 0, 0]
+        b /= det[:, None, None]
+        return area, b
+
+    def _scatter(self, blocks: np.ndarray) -> sp.csr_matrix:
+        rows = np.repeat(self.tri, 3, axis=1).ravel()
+        cols = np.tile(self.tri, (1, 3)).ravel()
+        return sp.csr_matrix((blocks.ravel(), (rows, cols)), shape=(self.nv, self.nv))
+
+    def mass(self) -> sp.csr_matrix:
+        area, _ = self._geometry()
+        Me = (np.ones((3, 3)) + np.eye(3)) / 12.0  # |T|·(2 diag, 1 off)/12
+        return self._scatter(area[:, None, None] * Me[None])
+
+    def stiffness(self) -> sp.csr_matrix:
+        area, b = self._geometry()
+        Ke = np.einsum("tad,tbd->tab", b, b) * area[:, None, None]
+        return self._scatter(Ke)
+
+    def omega(self) -> np.ndarray:
+        area, _ = self._geometry()
+        w = np.zeros(self.nv)
+        np.add.at(w, self.tri.ravel(), np.repeat(area / 3.0, 3))
+        return w
+
+    def project(self, f: Callable[[np.ndarray, np.ndarray], np.ndarray]) -> np.ndarray:
+        """L2 projection via edge-midpoint quadrature (exact to degree 2)."""
+        import scipy.sparse.linalg as spla
+
+        area, _ = self._geometry()
+        p = self.xy[self.tri]  # (nt, 3, 2)
+        mids = 0.5 * (p + np.roll(p, -1, axis=1))  # (nt, 3, 2) edge midpoints
+        fm = f(mids[..., 0], mids[..., 1])  # (nt, 3)
+        # midpoint rule: ∫_T f φ_a = |T|/3 Σ_m f(m) φ_a(m); φ_a(midpoint) = ½
+        # at the two midpoints adjacent to vertex a, 0 at the opposite one
+        phi_m = 0.5 * (np.ones((3, 3)) - np.roll(np.eye(3), -1, axis=1).T)
+        # phi_m[a, m] = φ_a at midpoint m (m = edge between vertices m, m+1)
+        phi_m = np.zeros((3, 3))
+        for a in range(3):
+            for m in range(3):
+                phi_m[a, m] = 0.5 * ((m == a) + ((m + 1) % 3 == a))
+        rhs_loc = (area[:, None] / 3.0) * np.einsum("tm,am->ta", fm, phi_m)
+        rhs = np.zeros(self.nv)
+        np.add.at(rhs, self.tri.ravel(), rhs_loc.ravel())
+        return spla.spsolve(self.mass(), rhs)

@@ -130,10 +130,14 @@ def _build_core(k: int, m: int, prefunc, history: bool, prototypical: bool):
                 y = jnp.where(bad, y_unc, kkt.y)
                 # safety semantics (solvers.py:258-270): NaN fallback leaves
                 # the latch untouched; success sets it; a deviation above
-                # ctol trips it
+                # tolerance trips it.  The tolerance is floored at the
+                # evaluation-roundoff scale of the constraint — feasibility
+                # below that is unverifiable in finite precision.
+                eps = jnp.finfo(dt).eps
+                floor = jnp.maximum(ctol, 32.0 * eps * kkt.scale)
                 new_safety = jnp.where(
                     bad, safety,
-                    jnp.where(kkt.deviation > ctol, _SAFETY_BAD, _SAFETY_OK),
+                    jnp.where(kkt.deviation > floor, _SAFETY_BAD, _SAFETY_OK),
                 )
                 return y, new_safety.astype(jnp.int32), kkt.deviation, kkt.iters
 

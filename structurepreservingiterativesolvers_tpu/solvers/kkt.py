@@ -27,13 +27,19 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..constraints.quadratic import ReducedBuffers, reduced_grad, reduced_value
+from ..constraints.quadratic import (
+    ReducedBuffers,
+    reduced_grad,
+    reduced_scale,
+    reduced_value,
+)
 
 
 class KKTResult(NamedTuple):
     y: jnp.ndarray  # (k,) minimiser (inactive coords zero)
     lam: jnp.ndarray  # (m,) multipliers
     deviation: jnp.ndarray  # max |g_i(y)| over enforced constraints
+    scale: jnp.ndarray  # roundoff scale of the worst constraint evaluation
     kkt_norm: jnp.ndarray  # final KKT residual norm
     iters: jnp.ndarray
 
@@ -132,6 +138,12 @@ def constrained_lsq(
         cond, body, (y0, lam0, jnp.linalg.norm(r0), jnp.int32(0))
     )
     g, _ = _constraint_eval(bufs, y, con_mask)
+    scales = jnp.stack([reduced_scale(b, y) for b in bufs]) * con_mask
     return KKTResult(
-        y=y, lam=lam, deviation=jnp.max(jnp.abs(g)), kkt_norm=rnorm, iters=iters
+        y=y,
+        lam=lam,
+        deviation=jnp.max(jnp.abs(g)),
+        scale=jnp.max(scales),
+        kkt_norm=rnorm,
+        iters=iters,
     )
