@@ -1,0 +1,91 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: sparse SpMV throughput (nnz/s) of the framework's device format on
+the heat-problem operator, the op that dominates every Krylov iteration
+(reference hot loop: ``A @ z`` in solvers.py:95,191,370).  ``vs_baseline``
+compares against scipy CSR SpMV on the host CPU — the engine the reference
+actually runs on.  Extra fields report CGMRES time-to-solution and the
+invariant-deviation gain vs GMRES at equal budget (the reference's quality
+bar, heat/TimedSolve.py:75-80).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _median_time(fn, reps=10, warmup=3):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.models import heat
+    from structurepreservingiterativesolvers_tpu.solvers import cgmres, gmres
+
+    M = 1024
+    sys_ = heat.linforms(M=M, N=100)
+    A, b = sys_.A, sys_.b
+    nnz = sys_.A_csr.nnz
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(b.shape[0]), b.dtype)
+
+    spmv = jax.jit(lambda A, x: A @ x)
+    spmv(A, x).block_until_ready()
+    t_dev = _median_time(lambda: spmv(A, x).block_until_ready())
+    dev_nnz_s = nnz / t_dev
+
+    # host baseline: scipy CSR (the reference's SpMV engine)
+    xh = np.asarray(x, dtype=np.float64)
+    Ah = sys_.A_csr
+    t_host = _median_time(lambda: Ah @ xh, reps=5)
+    host_nnz_s = nnz / t_host
+
+    # CGMRES time-to-solution at fixed invariant quality (smaller problem to
+    # keep total bench time low)
+    s2 = heat.linforms(M=256, N=100)
+    cons = s2.constraints()
+    xg, gi = gmres(s2.A, s2.b, k=30, tol=1e-6)
+    t_cg = _median_time(
+        lambda: cgmres(s2.A, s2.b, k=30, tol=1e-6, constraints=cons)[0].block_until_ready(),
+        reps=3, warmup=1,
+    )
+    xc, ci = cgmres(s2.A, s2.b, k=30, tol=1e-6, constraints=cons)
+    ig, ic = s2.compute_invariants(xg), s2.compute_invariants(xc)
+    gain_mass = abs(float(ig["mass"] - s2.m0)) / max(abs(float(ic["mass"] - s2.m0)), 1e-16)
+    gain_energy = abs(float(ig["energy"] - s2.e0)) / max(abs(float(ic["energy"] - s2.e0)), 1e-16)
+
+    out = {
+        "metric": "spmv_nnz_per_s",
+        "value": dev_nnz_s,
+        "unit": "nnz/s",
+        "vs_baseline": dev_nnz_s / host_nnz_s,
+        "extra": {
+            "backend": jax.default_backend(),
+            "dtype": str(b.dtype),
+            "n": int(b.shape[0]),
+            "nnz": int(nnz),
+            "spmv_time_s": t_dev,
+            "host_scipy_nnz_per_s": host_nnz_s,
+            "cgmres_tts_s": t_cg,
+            "cgmres_steps": ci["steps"],
+            "conservation_gain_mass": gain_mass,
+            "conservation_gain_energy": gain_energy,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

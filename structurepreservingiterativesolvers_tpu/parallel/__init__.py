@@ -1,1 +1,9 @@
-
+from .mesh import (  # noqa: F401
+    ROWS,
+    make_mesh,
+    replicated,
+    shard_constraint,
+    shard_matrix,
+    shard_system,
+    shard_vector,
+)
