@@ -91,6 +91,22 @@ class System:
         )
         return {"mass": mass, "energy": energy}
 
+    def step_update(self, z_prev: jnp.ndarray) -> "System":
+        """Next-step system from a previous solution (device-side; replaces
+        per-step Firedrake reassembly)."""
+        dt_step = self.prob.dt
+        u0 = z_prev
+        Lz0 = self.Lmat @ u0
+        Mu0 = self.Mmat @ u0
+        return dataclasses.replace(
+            self,
+            b=Mu0 / dt_step - 0.5 * Lz0,
+            z0=u0,
+            Lz0=Lz0,
+            m0=jnp.dot(self.omega, u0),
+            old_energy=0.5 * jnp.dot(u0, Mu0) - 0.25 * dt_step * jnp.dot(u0, Lz0),
+        )
+
 
 def linforms(
     N: int = 100,

@@ -70,6 +70,7 @@ class System:
     b: jnp.ndarray
     z0: jnp.ndarray
     Mmat: object  # scalar-space mass matrix (device)
+    Gmat: object  # antisymmetric derivative operator (device)
     omega: jnp.ndarray  # scalar-space integration vector (device)
     m0: jnp.ndarray
     mo0: jnp.ndarray
@@ -104,6 +105,30 @@ class System:
             "momentum": 0.5 * jnp.dot(u, self.Mmat @ u),
             "energy": 0.5 * jnp.dot(w, self.Mmat @ w) - 0.5 * jnp.dot(u, self.Mmat @ u),
         }
+
+    def step_update(self, z_prev: jnp.ndarray) -> "System":
+        """Next-step system from a previous solution — device-side re-seed of
+        b and the invariant targets, with A/M/G reused (replaces the
+        reference's full Firedrake reassembly per step, lkdv/Evolve.py:57-59).
+        Jit-compatible: all updated fields are traced arrays."""
+        n0 = self.n0
+        dt_step = self.prob.T / self.prob.N
+        u0, _, w0 = jnp.split(z_prev, 3)
+        b = jnp.concatenate(
+            [
+                (self.Mmat @ u0) / dt_step,
+                0.5 * (self.Mmat @ u0) + 0.5 * (self.Gmat @ w0),
+                jnp.zeros(n0, z_prev.dtype),
+            ]
+        )
+        return dataclasses.replace(
+            self,
+            b=b,
+            z0=z_prev,
+            m0=jnp.dot(self.omega, u0),
+            mo0=0.5 * jnp.dot(u0, self.Mmat @ u0),
+            e0=0.5 * jnp.dot(w0, self.Mmat @ w0) - 0.5 * jnp.dot(u0, self.Mmat @ u0),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,6 +214,7 @@ def linforms(
         b=jnp.asarray(b, dtype),
         z0=jnp.asarray(z0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),
+        Gmat=from_scipy(Gh, dtype=dtype),
         omega=jnp.asarray(omega_h, dtype),
         m0=jnp.asarray(m0, dtype),
         mo0=jnp.asarray(mo0, dtype),

@@ -78,6 +78,8 @@ class System:
     b: jnp.ndarray
     z0: jnp.ndarray  # (3n0,) current step's initial mixed vector
     Mmat: object
+    Gmat: object
+    Minv: object  # block-diagonal mass inverse (DG), device
     omega: jnp.ndarray
     m0: jnp.ndarray
     mo0: jnp.ndarray
@@ -131,6 +133,35 @@ class System:
             "energy": 0.5 * jnp.dot(w, self.Mmat @ w) - 0.5 * jnp.dot(u, self.Mmat @ u),
         }
 
+    def step_update(self, zbig_prev: jnp.ndarray) -> "System":
+        """Next-step stage system from the previous stage solution.
+
+        Reconstructs z1, re-derives consistent auxiliary fields on device
+        (w = M⁻¹G u, v = u + M⁻¹G w — the reference's per-step
+        ``v_finder``/``w_finder`` LU solves, lkdvRK/lkdvRK.py:65-93, done
+        here with the precomputed block-diagonal DG mass inverse), and
+        re-seeds b and the invariant targets.  With consistent fields the
+        algebraic stage rows have zero right-hand side, so
+        b = [−G v0; 0; 0] per stage."""
+        prob = self.prob
+        n0 = self.n0
+        z1 = self.z1calc(zbig_prev)
+        u1 = z1[:n0]
+        w0 = self.Minv @ (self.Gmat @ u1)
+        v0 = u1 + self.Minv @ (self.Gmat @ w0)
+        z0n = jnp.concatenate([u1, v0, w0])
+        b_stage = jnp.concatenate(
+            [-(self.Gmat @ v0), jnp.zeros(2 * n0, z1.dtype)]
+        )
+        return dataclasses.replace(
+            self,
+            b=jnp.tile(b_stage, prob.ns),
+            z0=z0n,
+            m0=jnp.dot(self.omega, u1),
+            mo0=0.5 * jnp.dot(u1, self.Mmat @ u1),
+            e0=0.5 * jnp.dot(w0, self.Mmat @ w0) - 0.5 * jnp.dot(u1, self.Mmat @ u1),
+        )
+
     def compute_error(self, zbig: jnp.ndarray, t: float) -> float:
         """L2(u) error vs the exact travelling wave at time t
         (reference lkdvRK/lkdvRK.py:223-240)."""
@@ -139,6 +170,18 @@ class System:
         uex = self.fem.project(lambda x: self.prob.exact(x, t))
         e = u1 - uex
         return float(np.sqrt(e @ (self.Mh @ e)))
+
+
+def _mass_inverse(Mh: sp.csr_matrix, fem: Space1D) -> sp.csr_matrix:
+    """Explicit sparse mass inverse.  DG mass is block-diagonal per element,
+    so the inverse is too; for CG we fall back to a dense inverse of the
+    (banded, well-conditioned) mass — only used at assembly time."""
+    if fem.kind == "DG":
+        blocks = [
+            np.linalg.inv(Mh[idx][:, idx].toarray()) for idx in fem.lg
+        ]
+        return sp.csr_matrix(sp.block_diag(blocks))
+    return sp.csr_matrix(np.linalg.inv(Mh.toarray()))
 
 
 def linforms(
@@ -204,6 +247,8 @@ def linforms(
         b=jnp.asarray(b_big, dtype),
         z0=jnp.asarray(z0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),
+        Gmat=from_scipy(Gh, dtype=dtype),
+        Minv=from_scipy(_mass_inverse(Mh, fem), dtype=dtype),
         omega=jnp.asarray(omega_h, dtype),
         m0=jnp.asarray(m0, dtype),
         mo0=jnp.asarray(mo0, dtype),

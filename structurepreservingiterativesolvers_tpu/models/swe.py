@@ -110,6 +110,19 @@ class System:
             "energy": 0.5 * jnp.dot(z, self.Lfull @ z),
         }
 
+    def step_update(self, z_prev: jnp.ndarray) -> "System":
+        """Next-step system (device-side).  Since A = I/dt − S/2,
+        b = (I/dt + S/2) z = 2z/dt − A z — one SpMV, no reassembly."""
+        dt_step = self.prob.dt
+        b = 2.0 * z_prev / dt_step - (self.A @ z_prev)
+        return dataclasses.replace(
+            self,
+            b=b,
+            z0=z_prev,
+            m0=jnp.dot(self.omega, z_prev),
+            e0=0.5 * jnp.dot(z_prev, self.Lfull @ z_prev),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class _EnergyDiag:
