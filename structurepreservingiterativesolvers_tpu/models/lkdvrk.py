@@ -184,6 +184,31 @@ def _mass_inverse(Mh: sp.csr_matrix, fem: Space1D) -> sp.csr_matrix:
     return sp.csr_matrix(np.linalg.inv(Mh.toarray()))
 
 
+def element_block_preconditioner(system: "System", elems_per_block: int = 2):
+    """Block-Jacobi preconditioner coupling all fields and stages of
+    ``elems_per_block`` adjacent elements — the TPU-native stand-in for the
+    reference's SuperLU ILU factor (lkdvRK/Evolve.py:51-52): the per-block
+    dense solves run as one batched MXU matmul instead of sequential
+    triangular solves."""
+    from ..precond import block_jacobi
+
+    n0, prob = system.n0, system.prob
+    nloc = prob.degree + 1
+    ne = n0 // nloc
+    if ne % elems_per_block:
+        raise ValueError("elems_per_block must divide the element count")
+    blocks = []
+    for e0 in range(0, ne, elems_per_block):
+        idx = []
+        for st in range(prob.ns):
+            for f in range(3):
+                base = st * 3 * n0 + f * n0
+                for e in range(e0, e0 + elems_per_block):
+                    idx.extend(range(base + e * nloc, base + (e + 1) * nloc))
+        blocks.append(np.asarray(idx))
+    return block_jacobi(system.A_csr, blocks, dtype=system.b.dtype)
+
+
 def linforms(
     N: int = 100,
     M: int = 50,

@@ -16,6 +16,31 @@ def _identity(v):
     return v
 
 
+def apply_preconditioner(pre, v):
+    """Apply any accepted preconditioner spelling to a vector (trace-time
+    dispatch; ``pre`` may be a traced pytree object)."""
+    if pre is None:
+        return v
+    if hasattr(pre, "solve"):
+        return pre.solve(v)
+    if callable(pre):
+        return pre(v)
+    if hasattr(pre, "__matmul__"):
+        return pre @ v
+    raise ValueError(f"Preconditioner not supported: {type(pre)!r}")
+
+
+def is_operand_preconditioner(pre) -> bool:
+    """True if ``pre`` is a registered pytree carrying device arrays — such
+    preconditioners are passed through jit as operands (retrace-free data
+    updates); plain functions are closed over statically."""
+    import jax
+
+    if pre is None:
+        return False
+    return not jax.tree_util.all_leaves([pre])
+
+
 def as_preconditioner(pre) -> Callable:
     if pre is None:
         return _identity

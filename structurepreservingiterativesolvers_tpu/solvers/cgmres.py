@@ -45,7 +45,11 @@ from ..constraints.quadratic import (
     init_buffers,
     update_buffers,
 )
-from ..precond.base import as_preconditioner
+from ..precond.base import (
+    apply_preconditioner,
+    as_preconditioner,
+    is_operand_preconditioner,
+)
 from .arnoldi import arnoldi_step, init_state, lsq_coeffs
 from .kkt import constrained_lsq
 
@@ -65,9 +69,13 @@ class CgmresResult(NamedTuple):
 
 
 @lru_cache(maxsize=64)
-def _build_core(k: int, m: int, prefunc, history: bool, prototypical: bool):
+def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool):
     @jax.jit
-    def core(A, b, x0, cons, tol, contol, ctol) -> CgmresResult:
+    def core(A, b, x0, cons, tol, contol, ctol, pre_op) -> CgmresResult:
+        def prefunc(v):
+            if static_pre is not None:
+                return static_pre(v)
+            return apply_preconditioner(pre_op, v)
         n = b.shape[0]
         dt = b.dtype
         r0 = b - A @ x0
@@ -181,12 +189,15 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
     cons = tuple(constraints)
-    prefunc = as_preconditioner(pre)
-    core = _build_core(int(k), len(cons), prefunc, bool(history), prototypical)
+    if is_operand_preconditioner(pre):
+        static_pre, pre_op = None, pre
+    else:
+        static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
+    core = _build_core(int(k), len(cons), static_pre, bool(history), prototypical)
 
     t0 = time()
     out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),
-               jnp.asarray(contol, b.dtype), jnp.asarray(ctol, b.dtype))
+               jnp.asarray(contol, b.dtype), jnp.asarray(ctol, b.dtype), pre_op)
     out = jax.block_until_ready(out)
     wall = time() - t0
 

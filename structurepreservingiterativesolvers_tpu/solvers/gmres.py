@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..precond.base import as_preconditioner
+from ..precond.base import (
+    apply_preconditioner,
+    as_preconditioner,
+    is_operand_preconditioner,
+)
 from .arnoldi import (
     ArnoldiState,
     arnoldi_step,
@@ -46,9 +50,16 @@ class GmresResult(NamedTuple):
 
 
 @lru_cache(maxsize=64)
-def _build_core(k: int, prefunc, history: bool, true_residual: bool):
+def _build_core(k: int, static_pre, history: bool, true_residual: bool):
     @jax.jit
-    def core(A, b, x0, tol) -> GmresResult:
+    def core(A, b, x0, tol, pre_op) -> GmresResult:
+        # static_pre: hashable callable closed over statically; pre_op: a
+        # pytree preconditioner passed as a traced operand (either may be
+        # None; apply dispatches at trace time)
+        def prefunc(v):
+            if static_pre is not None:
+                return static_pre(v)
+            return apply_preconditioner(pre_op, v)
         n = b.shape[0]
         r0 = b - A @ x0
         beta = jnp.linalg.norm(r0)
@@ -107,9 +118,12 @@ def gmres(
     """
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
-    prefunc = as_preconditioner(pre)
-    core = _build_core(int(k), prefunc, bool(history), bool(true_residual))
-    out = core(A, b, x0, jnp.asarray(tol, b.dtype))
+    if is_operand_preconditioner(pre):
+        static_pre, pre_op = None, pre
+    else:
+        static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
+    core = _build_core(int(k), static_pre, bool(history), bool(true_residual))
+    out = core(A, b, x0, jnp.asarray(tol, b.dtype), pre_op)
 
     steps = int(out.steps)
     info = {

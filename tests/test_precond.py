@@ -1,0 +1,63 @@
+"""Preconditioner stack tests: each must accelerate convergence and remain
+a valid right preconditioner (identical solution, fewer iterations)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from structurepreservingiterativesolvers_tpu import precond
+from structurepreservingiterativesolvers_tpu.models import heat, lkdvrk
+from structurepreservingiterativesolvers_tpu.ops import dia_from_scipy
+from structurepreservingiterativesolvers_tpu.solvers import cgmres, gmres
+
+RNG = np.random.default_rng(7)
+
+
+def test_jacobi_diagonal_extraction():
+    A = sp.csr_matrix(sp.diags([1.0, 5.0, 1.0], [-1, 0, 1], shape=(32, 32)))
+    Ad = dia_from_scipy(A)
+    np.testing.assert_allclose(np.asarray(precond.diagonal(Ad)), A.diagonal())
+    J = precond.jacobi(Ad)
+    v = jnp.asarray(RNG.standard_normal(32))
+    np.testing.assert_allclose(np.asarray(J(v)), np.asarray(v) / 5.0)
+
+
+def test_chebyshev_accelerates_heat():
+    s = heat.linforms(M=32)
+    pre = precond.chebyshev(s.A, degree=8)
+    _, plain = gmres(s.A, s.b, k=30, tol=1e-7)
+    _, cheb = gmres(s.A, s.b, k=30, tol=1e-7, pre=pre)
+    assert cheb["res"][-1] < 1e-7
+    assert cheb["res"][-1] < plain["res"][-1] * 1e-2
+
+
+def test_neumann_valid_preconditioner():
+    s = heat.linforms(M=16)
+    pre = precond.neumann(s.A, degree=4)
+    x, info = gmres(s.A, s.b, k=40, tol=1e-9, pre=pre)
+    import scipy.sparse.linalg as spla
+
+    x_dir = spla.spsolve(s.A_csr, np.asarray(s.b))
+    np.testing.assert_allclose(np.asarray(x), x_dir, rtol=1e-5, atol=1e-8)
+
+
+def test_block_jacobi_lkdvrk():
+    s = lkdvrk.linforms(N=10, M=50, degree=3, tstages=2, T=1.0)
+    pre = lkdvrk.element_block_preconditioner(s, elems_per_block=2)
+    _, plain = cgmres(s.A, s.b, k=60, tol=1e-6, constraints=s.constraints())
+    _, blocked = cgmres(s.A, s.b, k=60, tol=1e-6, constraints=s.constraints(), pre=pre)
+    assert blocked["res"][-1] < 1e-6
+    assert blocked["steps"] < plain["steps"]
+    assert blocked["safety"] is True
+
+
+def test_preconditioner_is_operand_no_retrace():
+    """Two different Jacobi instances must reuse the same jitted core
+    (preconditioner data is an operand, not a static closure)."""
+    s = heat.linforms(M=16)
+    p1 = precond.jacobi(s.A)
+    p2 = precond.Jacobi(dinv=p1.dinv * 1.0000001)
+    x1, _ = gmres(s.A, s.b, k=10, tol=1e-9, pre=p1)
+    x2, _ = gmres(s.A, s.b, k=10, tol=1e-9, pre=p2)
+    assert np.isfinite(np.asarray(x1)).all() and np.isfinite(np.asarray(x2)).all()
