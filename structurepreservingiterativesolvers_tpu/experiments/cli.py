@@ -1,0 +1,93 @@
+"""Command-line interface — one CLI replacing the reference's per-problem
+``__main__`` driver scripts and the argparse shim (reference
+lkdvRK/subcall.py:27-43).
+
+Usage::
+
+    python -m structurepreservingiterativesolvers_tpu single --problem lkdv --k 20
+    python -m structurepreservingiterativesolvers_tpu evolve --problem lkdv --tol 1e-6 --plot
+    python -m structurepreservingiterativesolvers_tpu timed --problem heat --sizes 16 32 64
+    python -m structurepreservingiterativesolvers_tpu sweep --parallel
+    python -m structurepreservingiterativesolvers_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="structurepreservingiterativesolvers_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("single", help="one-step solver comparison (SingleSolve)")
+    p.add_argument("--problem", default="lkdv",
+                   choices=["lkdv", "lkdvrk", "heat", "swe"])
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--tol", type=float, default=1e-50)
+    p.add_argument("--M", type=int, default=50)
+    p.add_argument("--degree", type=int, default=1)
+    p.add_argument("--plot", action="store_true")
+
+    p = sub.add_parser("evolve", help="time evolution with drift tracking")
+    p.add_argument("--problem", default="lkdv",
+                   choices=["lkdv", "lkdvrk", "heat", "swe"])
+    p.add_argument("--N", type=int, default=100)
+    p.add_argument("--M", type=int, default=50)
+    p.add_argument("--degree", type=int, default=1)
+    p.add_argument("--k", type=int, default=50)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--plot", action="store_true")
+
+    p = sub.add_parser("timed", help="size-sweep timing benchmark (TimedSolve)")
+    p.add_argument("--problem", default="heat", choices=["heat", "swe", "lkdv"])
+    p.add_argument("--sizes", type=int, nargs="+", default=None)
+    p.add_argument("--tol", type=float, default=1e-7)
+    p.add_argument("--k", type=int, default=20)
+
+    p = sub.add_parser("sweep", help="lkdvRK convergence-order error sweep")
+    p.add_argument("--parallel", action="store_true")
+    p.add_argument("--N", type=int, default=10)
+    p.add_argument("--M", type=int, default=400)
+    p.add_argument("--plot", action="store_true")
+
+    sub.add_parser("bench", help="headline benchmark (one JSON line)")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "single":
+        from .single_solve import single_solve
+
+        single_solve(args.problem, k=args.k, tol=args.tol, M=args.M,
+                     degree=args.degree, plot=args.plot)
+    elif args.cmd == "evolve":
+        from .evolve import deviation_plotter, evolve
+
+        if args.plot:
+            deviation_plotter(args.problem, tol=args.tol, N=args.N, M=args.M,
+                              degree=args.degree, k=args.k)
+        else:
+            out = evolve(args.problem, N=args.N, M=args.M, degree=args.degree,
+                         k=args.k, tol=args.tol)
+            for key in ("dm", "dmo", "de"):
+                if key in out:
+                    print(f"final {key}: {out[key][-1]:.3e}")
+    elif args.cmd == "timed":
+        from .timed_solve import timed_solve
+
+        timed_solve(args.problem, sizes=args.sizes, tol=args.tol, k=args.k)
+    elif args.cmd == "sweep":
+        from .error_sweep import error_plot, run_sweep
+
+        run_sweep(parallel=args.parallel, N=args.N, M=args.M)
+        if args.plot:
+            error_plot()
+    elif args.cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

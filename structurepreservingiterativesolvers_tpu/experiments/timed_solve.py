@@ -1,0 +1,137 @@
+"""TimedSolve benchmark harness: size sweep, GMRES vs timed CGMRES.
+
+Parity with the reference benchmark drivers (reference
+heat/TimedSolve.py:25-162, swe/TimedSolve.py:18-134): for each mesh size,
+build a preconditioner (timed separately), run GMRES and CGMRES with
+``timing=True``, check the conservation gain (≥2× expected — the
+reference's warning, heat/TimedSolve.py:75-80), and print a markdown table
+of per-phase timings and gains.
+"""
+
+from __future__ import annotations
+
+import warnings
+from time import time
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import precond as _precond
+from . import wrappers
+from .single_solve import get_model
+
+
+def default_pre_builder(problem: str):
+    """Preconditioner choice per problem, mirroring the reference's pairings
+    (heat → AMG, swe → ILU; here their TPU-native stand-ins)."""
+    if problem == "heat":
+        return lambda system: _precond.chebyshev(system.A, degree=8)
+    if problem == "swe":
+        return lambda system: _precond.neumann(system.A, degree=2)
+    return lambda system: None
+
+
+def time_cgmres(
+    problem: str = "heat",
+    M: int = 2**4,
+    degree: int = 1,
+    tol: float = 1e-7,
+    k: int = 20,
+    pre_builder: Optional[Callable] = None,
+    **params,
+):
+    model = get_model(problem)
+    system = model.linforms(M=M, degree=degree, **params)
+    x0 = jnp.zeros_like(system.b)
+
+    pre_builder = pre_builder or default_pre_builder(problem)
+    start_pre = time()
+    pre = pre_builder(system)
+    end_pre = time()
+
+    start_gmres = time()
+    gmres_x, solvedict = wrappers.gmres_wrapper(system, x0=x0, k=k, tol=tol, pre=pre)
+    gmres_x.block_until_ready()
+    end_gmres = time()
+
+    cgmres_x, geodict = wrappers.cgmres_wrapper(
+        system, x0=x0, k=k, tol=tol, pre=pre, timing=True
+    )
+
+    # conservation-gain check (reference heat/TimedSolve.py:67-80)
+    inv_g = system.compute_invariants(gmres_x)
+    inv_c = system.compute_invariants(cgmres_x)
+    from .report import _targets
+
+    names = list(inv_g.keys())
+    targets = _targets(system, names)
+    conservation = {}
+    for nm in names:
+        dg = abs(float(inv_g[nm]) - targets[nm])
+        dc = abs(float(inv_c[nm]) - targets[nm])
+        conservation[f"gmres_{nm}"] = dg
+        conservation[f"cgmres_{nm}"] = dc
+        if not dc < 0.5 * dg:
+            warnings.warn(
+                f"CGMRES does not lead to a significant improvement in {nm} "
+                f"with M={M} and tol={tol}"
+            )
+
+    out = dict(geodict["timings"])
+    out["steps"] = geodict["steps"]
+    out["unconstrained_steps"] = geodict["steps"] - out["constrained_steps"]
+    out["time_pre"] = end_pre - start_pre
+    out["time_gmres"] = end_gmres - start_gmres
+    out["gmres_steps"] = solvedict["steps"]
+    out["conservation"] = conservation
+    out["invariant_names"] = names
+    return out
+
+
+def timed_solve(
+    problem: str = "heat",
+    sizes: Optional[Sequence[int]] = None,
+    degree: int = 1,
+    tol: float = 1e-7,
+    k: int = 20,
+    pre_builder: Optional[Callable] = None,
+    to_markdown: bool = True,
+    **params,
+):
+    """Size sweep (reference: heat M=2⁴..2¹¹, swe M=2⁴..2⁹).  Returns the
+    DataFrame; prints a markdown table like the reference."""
+    import pandas as pd
+
+    if sizes is None:
+        sizes = [2**i for i in range(4, 9)]
+
+    rows = []
+    for M in sizes:
+        out = time_cgmres(problem, M=M, degree=degree, tol=tol, k=k,
+                          pre_builder=pre_builder, **params)
+        con = out["conservation"]
+        row = {
+            "M": M,
+            "Preconditioning time": out["time_pre"],
+            "GMRES run time": out["time_gmres"],
+            "CGMRES run time": out["runtime"],
+            "Average unconstrained iteration time": out["iter_time_unconstrained"],
+            "Number of unconstrained iterations": out["unconstrained_steps"],
+            "Average overhead from building constraints": out["constraint_building"],
+            "Average constrained iteration time": out["iter_time_constrained"],
+            "Number of constrained iterations": out["constrained_steps"],
+        }
+        for nm in out["invariant_names"]:
+            gain = max(con[f"gmres_{nm}"], 1e-16) / max(con[f"cgmres_{nm}"], 1e-16)
+            row[f"Gain in {nm} conservation"] = gain
+        rows.append(row)
+
+    df = pd.DataFrame(rows)
+    if to_markdown:
+        fmt = df.copy()
+        for col in fmt.columns:
+            if "time" in col.lower() or "Gain" in col:
+                fmt[col] = fmt[col].map(lambda v: f"{v:.2e}")
+        print(fmt.to_markdown(index=False))
+    return df

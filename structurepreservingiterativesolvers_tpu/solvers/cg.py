@@ -1,0 +1,87 @@
+"""Preconditioned conjugate gradients (SPD systems), jit-compiled.
+
+The reference ships no CG (its systems are mildly nonsymmetric), but the
+capability target includes it for the SPD paths (heat operator M/dt + ½K is
+SPD).  Same engineering as the GMRES core: one ``lax.while_loop``, operand
+preconditioners, true-residual reporting.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..precond.base import (
+    apply_preconditioner,
+    as_preconditioner,
+    is_operand_preconditioner,
+)
+
+
+class CgResult(NamedTuple):
+    x: jnp.ndarray
+    res: jnp.ndarray
+    steps: jnp.ndarray
+
+
+@lru_cache(maxsize=64)
+def _build_core(k: int, static_pre):
+    @jax.jit
+    def core(A, b, x0, tol, pre_op) -> CgResult:
+        def prefunc(v):
+            if static_pre is not None:
+                return static_pre(v)
+            return apply_preconditioner(pre_op, v)
+
+        r0 = b - A @ x0
+        z0 = prefunc(r0)
+        res0 = jnp.full((k,), jnp.inf, b.dtype)
+
+        def cond(c):
+            x, r, z, p, rz, j, done = c
+            return (j < k) & ~done
+
+        def body(c):
+            x, r, z, p, rz, j, done = c
+            Ap = A @ p
+            alpha = rz / jnp.dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prefunc(r)
+            rz_new = jnp.dot(r, z)
+            p = z + (rz_new / rz) * p
+            rnorm = jnp.linalg.norm(r)
+            return (x, r, z, p, rz_new, j + 1, rnorm < tol)
+
+        init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.int32(0),
+                jnp.linalg.norm(r0) < tol)
+        x, r, z, p, rz, j, done = lax.while_loop(cond, body, init)
+
+        # recompute true residual history is omitted (single final value)
+        return CgResult(x=x, res=res0.at[0].set(jnp.linalg.norm(A @ x - b)),
+                        steps=j)
+
+    return core
+
+
+def cg(A, b, x0=None, k: int = 100, tol: float = 1e-8, pre=None):
+    """Solve SPD ``A x = b``; returns (x, info) on the common contract."""
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    if is_operand_preconditioner(pre):
+        static_pre, pre_op = None, pre
+    else:
+        static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
+    core = _build_core(int(k), static_pre)
+    out = core(A, b, x0, jnp.asarray(tol, b.dtype), pre_op)
+    info = {
+        "name": "cg",
+        "res": np.asarray(out.res[:1]),
+        "steps": int(out.steps),
+    }
+    return out.x, info

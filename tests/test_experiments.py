@@ -1,0 +1,75 @@
+"""Experiment-layer tests: drivers run end-to-end and reproduce the
+reference's qualitative results (drift suppression, conservation gains,
+convergence orders)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from structurepreservingiterativesolvers_tpu.experiments import (
+    evolve,
+    single_solve,
+    time_cgmres,
+    wrappers,
+)
+from structurepreservingiterativesolvers_tpu.solvers import cg
+from structurepreservingiterativesolvers_tpu.models import heat
+from structurepreservingiterativesolvers_tpu import precond
+
+
+def test_single_solve_lkdv(capsys):
+    out = single_solve("lkdv", k=20, tol=1e-50, M=50, degree=1, verbose=False)
+    assert out["cgmres_error"] < 1e-6
+    assert abs(out["deviations"]["cgmres"]["mass"]) < 1e-10
+    assert abs(out["deviations"]["direct"]["energy"]) < 1e-10
+
+
+def test_evolve_lkdv_drift_suppression():
+    kw = dict(N=10, M=50, degree=2, k=30, tol=1e-6)
+    g = evolve("lkdv", solver=wrappers.gmres_wrapper, **kw)
+    c = evolve("lkdv", solver=wrappers.cgmres_wrapper, **kw)
+    assert c["dm"][-1] < 1e-10
+    assert c["de"][-1] < 1e-8
+    assert c["de"][-1] < 1e-3 * max(g["de"][-1], 1e-30)
+
+
+def test_evolve_heat_runs():
+    out = evolve("heat", N=5, M=16, k=25, tol=1e-8,
+                 pre=None, solver=wrappers.cgmres_wrapper)
+    assert out["dm"][-1] < 1e-9
+
+
+def test_time_cgmres_conservation_gain():
+    out = time_cgmres("heat", M=32, k=25, tol=1e-7)
+    con = out["conservation"]
+    assert con["cgmres_mass"] * 2 <= con["gmres_mass"] + 1e-16
+    assert con["cgmres_energy"] * 2 <= con["gmres_energy"] + 1e-16
+    assert out["constrained_steps"] >= 1
+
+
+def test_cg_on_heat():
+    s = heat.linforms(M=32)
+    x, info = cg(s.A, s.b, k=200, tol=1e-10, pre=precond.jacobi(s.A))
+    import scipy.sparse.linalg as spla
+
+    x_dir = spla.spsolve(s.A_csr, np.asarray(s.b))
+    np.testing.assert_allclose(np.asarray(x), x_dir, rtol=1e-6, atol=1e-9)
+    assert info["steps"] < 200
+
+
+def test_error_sweep_serial(tmp_path):
+    from structurepreservingiterativesolvers_tpu.experiments.error_sweep import (
+        run_sweep,
+    )
+
+    merged = run_sweep(
+        grid=[(2, 2, 1e-7)], solvers=("Exact", "CGMRES"), N=3, M=50, k=60,
+        tmpdir=str(tmp_path),
+    )
+    assert len(merged) == 2
+    exact = [m for m in merged if m["solver"] == "Exact"][0]
+    cg_ = [m for m in merged if m["solver"] == "CGMRES"][0]
+    # CGMRES tracks the exact solver's discretisation error
+    assert cg_["err"][-1] < 5 * exact["err"][-1] + 1e-4
+    assert os.path.exists(tmp_path / "error.pickle")
