@@ -147,10 +147,16 @@ class ReducedBuffers(NamedTuple):
     T2: jnp.ndarray  # (k, k)
 
 
-def init_buffers(con: QuadraticConstraint, x0: jnp.ndarray, k: int) -> ReducedBuffers:
-    t0 = con(x0)
+def init_buffers(
+    con: QuadraticConstraint, x0: jnp.ndarray, k: int, cdtype=None
+) -> ReducedBuffers:
+    """``cdtype`` is the reduction dtype: on f32 hardware the reduction and
+    the KKT endgame run in (emulated) f64 — the data is tiny and the
+    constraint certificate needs the headroom (mixed-precision mode)."""
+    cdtype = cdtype or x0.dtype
+    t0 = con(x0.astype(cdtype))
     return ReducedBuffers(
-        t0=t0, t1=jnp.zeros(k, x0.dtype), T2=jnp.zeros((k, k), x0.dtype)
+        t0=t0, t1=jnp.zeros(k, cdtype), T2=jnp.zeros((k, k), cdtype)
     )
 
 
@@ -162,15 +168,17 @@ def update_buffers(
     j: jnp.ndarray,
 ) -> ReducedBuffers:
     """Fold the new basis vector Z[j] into the reduced constraint."""
-    zj = Z[j]
-    t1j = jnp.zeros((), x0.dtype)
+    cdtype = buf.t1.dtype
+    zj = Z[j].astype(cdtype)
+    x0c = x0.astype(cdtype)
+    t1j = jnp.zeros((), cdtype)
     if con.v is not None:
-        t1j = t1j + jnp.dot(con.v, zj)
+        t1j = t1j + jnp.dot(con.v.astype(cdtype), zj)
     T2 = buf.T2
     if con.M is not None:
-        u = con.M @ zj
-        t1j = t1j + jnp.dot(u, x0)
-        w = 0.5 * (Z @ u)  # (k,) — rows beyond the active prefix are zero
+        u = (con.M @ zj).astype(cdtype)
+        t1j = t1j + jnp.dot(u, x0c)
+        w = 0.5 * (Z.astype(cdtype) @ u)  # (k,) — inactive rows are zero
         T2 = T2.at[j, :].set(w).at[:, j].set(w)
     return ReducedBuffers(t0=buf.t0, t1=buf.t1.at[j].set(t1j), T2=T2)
 
@@ -186,14 +194,17 @@ def catchup_buffers(
     Inactive rows of Z are zero, so the result is correct for any active
     prefix; cost is one SpMM + one (k,n)·(n,k) MXU matmul.
     """
-    t1 = jnp.zeros(Z.shape[0], x0.dtype)
-    T2 = jnp.zeros((Z.shape[0], Z.shape[0]), x0.dtype)
+    cdtype = buf.t1.dtype
+    Zc = Z.astype(cdtype)
+    x0c = x0.astype(cdtype)
+    t1 = jnp.zeros(Z.shape[0], cdtype)
+    T2 = jnp.zeros((Z.shape[0], Z.shape[0]), cdtype)
     if con.v is not None:
-        t1 = t1 + Z @ con.v
+        t1 = t1 + Zc @ con.v.astype(cdtype)
     if con.M is not None:
-        U = con.M @ Z.T  # (n, k) SpMM
-        t1 = t1 + U.T @ x0
-        T2 = 0.5 * (Z @ U)
+        U = (con.M @ Zc.T).astype(cdtype)  # (n, k) SpMM, promoted to cdtype
+        t1 = t1 + U.T @ x0c
+        T2 = 0.5 * (Zc @ U)
     return ReducedBuffers(t0=buf.t0, t1=t1, T2=T2)
 
 

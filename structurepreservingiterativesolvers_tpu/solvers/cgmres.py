@@ -69,7 +69,8 @@ class CgmresResult(NamedTuple):
 
 
 @lru_cache(maxsize=64)
-def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool):
+def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
+                mixed: bool = False):
     @jax.jit
     def core(A, b, x0, cons, tol, contol, ctol, pre_op) -> CgmresResult:
         def prefunc(v):
@@ -78,10 +79,13 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool):
             return apply_preconditioner(pre_op, v)
         n = b.shape[0]
         dt = b.dtype
+        # mixed precision: on f32 hardware the constraint reduction and KKT
+        # endgame run in f64 (tiny, emulated) while SpMV/Arnoldi stay f32
+        cdtype = jnp.dtype("float64") if mixed else dt
         r0 = b - A @ x0
         beta = jnp.linalg.norm(r0)
         st0 = init_state(r0, beta, k)
-        bufs0 = tuple(init_buffers(c, x0, k) for c in cons)
+        bufs0 = tuple(init_buffers(c, x0, k, cdtype) for c in cons)
 
         res0 = jnp.full((k,), jnp.inf, dt)
         xs0 = jnp.zeros((k + 1, n), dt).at[0].set(r0) if history else None
@@ -102,14 +106,14 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool):
 
             if prototypical:
                 gate = jnp.bool_(True)
-                con_mask = (jnp.arange(m) < j).astype(dt)
+                con_mask = (jnp.arange(m) < j).astype(cdtype)
             else:
                 # reference gating (solvers.py:230): unconstrained only while
                 # residual > contol·tol, not at the last iteration, and the
                 # safety latch untouched
                 gate = ~((r_prev > contol * tol) & (j < k - 1)
                          & (safety == _SAFETY_NONE))
-                con_mask = jnp.ones((m,), dt)
+                con_mask = jnp.ones((m,), cdtype)
 
             # --- constraint reduction bookkeeping -------------------------
             def catchup(bs):
@@ -132,22 +136,28 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool):
 
             # --- coefficient solve ---------------------------------------
             def constrained(_):
-                kkt = constrained_lsq(st.H, beta, bufs, yk, active, con_mask,
-                                      kkt_tol=ctol * 1e-1)
+                kkt_tol = jnp.maximum(
+                    ctol.astype(cdtype) * 0.1,
+                    100.0 * jnp.finfo(cdtype).eps,
+                )
+                kkt = constrained_lsq(st.H.astype(cdtype), beta.astype(cdtype),
+                                      bufs, yk.astype(cdtype), active, con_mask,
+                                      kkt_tol=kkt_tol)
                 bad = jnp.any(jnp.isnan(kkt.y))
-                y = jnp.where(bad, y_unc, kkt.y)
+                y = jnp.where(bad, y_unc, kkt.y.astype(dt))
                 # safety semantics (solvers.py:258-270): NaN fallback leaves
                 # the latch untouched; success sets it; a deviation above
                 # tolerance trips it.  The tolerance is floored at the
                 # evaluation-roundoff scale of the constraint — feasibility
                 # below that is unverifiable in finite precision.
-                eps = jnp.finfo(dt).eps
-                floor = jnp.maximum(ctol, 32.0 * eps * kkt.scale)
+                eps = jnp.finfo(cdtype).eps
+                floor = jnp.maximum(ctol.astype(cdtype), 32.0 * eps * kkt.scale)
                 new_safety = jnp.where(
                     bad, safety,
                     jnp.where(kkt.deviation > floor, _SAFETY_BAD, _SAFETY_OK),
                 )
-                return y, new_safety.astype(jnp.int32), kkt.deviation, kkt.iters
+                return (y, new_safety.astype(jnp.int32),
+                        kkt.deviation.astype(dt), kkt.iters)
 
             def unconstrained(_):
                 return y_unc, safety, jnp.asarray(jnp.inf, dt), jnp.int32(0)
@@ -185,15 +195,20 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool):
 
 
 def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
-         prototypical, name):
+         prototypical, name, mixed=None):
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
     cons = tuple(constraints)
+    if mixed is None:
+        # default: promote the constraint/KKT path to f64 when the storage
+        # dtype is f32 (requires jax_enable_x64, on by default in config)
+        mixed = b.dtype == jnp.float32 and jax.config.jax_enable_x64
     if is_operand_preconditioner(pre):
         static_pre, pre_op = None, pre
     else:
         static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
-    core = _build_core(int(k), len(cons), static_pre, bool(history), prototypical)
+    core = _build_core(int(k), len(cons), static_pre, bool(history),
+                       prototypical, bool(mixed))
 
     t0 = time()
     out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),
