@@ -61,3 +61,26 @@ def test_preconditioner_is_operand_no_retrace():
     x1, _ = gmres(s.A, s.b, k=10, tol=1e-9, pre=p1)
     x2, _ = gmres(s.A, s.b, k=10, tol=1e-9, pre=p2)
     assert np.isfinite(np.asarray(x1)).all() and np.isfinite(np.asarray(x2)).all()
+
+
+def test_amg_accelerates_heat():
+    from structurepreservingiterativesolvers_tpu.precond.amg import amg
+
+    s = heat.linforms(M=64)
+    pre = amg(s.A_csr)
+    assert len(pre.levels) >= 2
+    _, plain = gmres(s.A, s.b, k=30, tol=1e-8)
+    _, accel = gmres(s.A, s.b, k=30, tol=1e-8, pre=pre)
+    assert accel["res"][-1] < 1e-8
+    assert accel["steps"] <= 25
+
+
+def test_amg_with_cgmres_constraints():
+    from structurepreservingiterativesolvers_tpu.precond.amg import amg
+
+    s = heat.linforms(M=64)
+    pre = amg(s.A_csr)
+    x, info = cgmres(s.A, s.b, k=30, tol=1e-8, constraints=s.constraints(), pre=pre)
+    assert info["safety"] is True
+    inv = s.compute_invariants(x)
+    assert abs(float(inv["mass"] - s.m0)) < 1e-10
