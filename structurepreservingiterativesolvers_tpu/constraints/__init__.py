@@ -1,3 +1,4 @@
+from .general import GeneralConstraint  # noqa: F401
 from .quadratic import (  # noqa: F401
     MatComb,
     QuadraticConstraint,

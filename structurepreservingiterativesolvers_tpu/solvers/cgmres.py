@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..constraints.general import GeneralConstraint, taylor_buffers, true_value
 from ..constraints.quadratic import (
     QuadraticConstraint,
     catchup_buffers,
@@ -70,7 +71,13 @@ class CgmresResult(NamedTuple):
 
 @lru_cache(maxsize=64)
 def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
-                mixed: bool = False):
+                mixed: bool = False, kinds: tuple = ()):
+    # kinds[i] ∈ {'q','g'}: quadratic constraints use the incremental
+    # reduction; general (callable) ones get a per-iteration autodiff Taylor
+    # model (constraints/general.py).  Empty kinds ⇒ all quadratic.
+    kinds = kinds or ("q",) * m
+    q_index = {i: sum(1 for kk in kinds[:i] if kk == "q")
+               for i in range(m) if kinds[i] == "q"}
     @jax.jit
     def core(A, b, x0, cons, tol, contol, ctol, pre_op) -> CgmresResult:
         def prefunc(v):
@@ -85,7 +92,9 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         r0 = b - A @ x0
         beta = jnp.linalg.norm(r0)
         st0 = init_state(r0, beta, k)
-        bufs0 = tuple(init_buffers(c, x0, k, cdtype) for c in cons)
+        quad_cons = tuple(c for c, kk in zip(cons, kinds) if kk == "q")
+        gen_cons = tuple(c for c, kk in zip(cons, kinds) if kk == "g")
+        bufs0 = tuple(init_buffers(c, x0, k, cdtype) for c in quad_cons)
 
         res0 = jnp.full((k,), jnp.inf, dt)
         xs0 = jnp.zeros((k + 1, n), dt).at[0].set(r0) if history else None
@@ -115,12 +124,18 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                          & (safety == _SAFETY_NONE))
                 con_mask = jnp.ones((m,), cdtype)
 
-            # --- constraint reduction bookkeeping -------------------------
+            # --- constraint reduction bookkeeping (quadratic only) --------
             def catchup(bs):
-                return tuple(catchup_buffers(c, bf, st.Z, x0) for c, bf in zip(cons, bs))
+                return tuple(
+                    catchup_buffers(c, bf, st.Z, x0)
+                    for c, bf in zip(quad_cons, bs)
+                )
 
             def increment(bs):
-                return tuple(update_buffers(c, bf, st.Z, x0, j) for c, bf in zip(cons, bs))
+                return tuple(
+                    update_buffers(c, bf, st.Z, x0, j)
+                    for c, bf in zip(quad_cons, bs)
+                )
 
             if prototypical:
                 bufs = increment(bufs)
@@ -140,11 +155,31 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                     ctol.astype(cdtype) * 0.1,
                     100.0 * jnp.finfo(cdtype).eps,
                 )
+                # assemble the full ordered buffer tuple: quadratic buffers
+                # are the incrementally-maintained ones; general constraints
+                # get a fresh autodiff Taylor model about the warm start
+                gi = iter(gen_cons)
+                all_bufs = tuple(
+                    bufs[q_index[i]] if kinds[i] == "q"
+                    else taylor_buffers(next(gi), yk, st.Z, x0, cdtype)
+                    for i in range(m)
+                )
                 kkt = constrained_lsq(st.H.astype(cdtype), beta.astype(cdtype),
-                                      bufs, yk.astype(cdtype), active, con_mask,
-                                      kkt_tol=kkt_tol)
+                                      all_bufs, yk.astype(cdtype), active,
+                                      con_mask, kkt_tol=kkt_tol)
                 bad = jnp.any(jnp.isnan(kkt.y))
                 y = jnp.where(bad, y_unc, kkt.y.astype(dt))
+                # the Taylor model is exact for quadratic g; for general g
+                # re-check the true constraint at the accepted coefficients
+                dev_true = kkt.deviation
+                gi2 = iter(gen_cons)
+                for i in range(m):
+                    if kinds[i] == "g":
+                        gval = true_value(next(gi2), y, st.Z, x0)
+                        dev_true = jnp.maximum(
+                            dev_true, jnp.abs(gval).astype(cdtype) * con_mask[i]
+                        )
+                kkt = kkt._replace(deviation=dev_true)
                 # safety semantics (solvers.py:258-270): NaN fallback leaves
                 # the latch untouched; success sets it; a deviation above
                 # tolerance trips it.  The tolerance is floored at the
@@ -207,8 +242,11 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
         static_pre, pre_op = None, pre
     else:
         static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
+    kinds = tuple(
+        "g" if isinstance(c, GeneralConstraint) else "q" for c in cons
+    )
     core = _build_core(int(k), len(cons), static_pre, bool(history),
-                       prototypical, bool(mixed))
+                       prototypical, bool(mixed), kinds)
 
     t0 = time()
     out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),

@@ -102,3 +102,34 @@ def test_history_contract(easy):
     r0 = np.asarray(easy.b)  # x0 = 0 ⇒ r0 = b
     np.testing.assert_allclose(info["x"][0], r0, rtol=1e-12)
     np.testing.assert_allclose(info["x"][info["steps"]], np.asarray(x), rtol=1e-12)
+
+
+def test_general_constraint_matches_quadratic(hard):
+    """A general (callable, autodiff) spelling of the energy constraint must
+    reproduce the quadratic fast path (dict-form parity, reference
+    lkdvRK/LinearSolver.py:29-79)."""
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.constraints.general import (
+        GeneralConstraint,
+    )
+
+    sys_ = hard
+    mass_q, mom_q, energy_q = sys_.constraints()
+    Mmat, e0 = sys_.Mmat, sys_.e0
+
+    def energy_fn(x):
+        u, v, w = jnp.split(x, 3)
+        return 0.5 * jnp.dot(w, Mmat @ w) - 0.5 * jnp.dot(u, Mmat @ u) - e0
+
+    gen = GeneralConstraint(func=energy_fn, name="energy")
+    k, tol = 50, 1e-6
+    xq, iq = cgmres(sys_.A, sys_.b, k=k, tol=tol,
+                    constraints=[mass_q, mom_q, energy_q])
+    xg, ig = cgmres(sys_.A, sys_.b, k=k, tol=tol,
+                    constraints=[mass_q, mom_q, gen])
+    assert ig["safety"] is True
+    dq = np.abs(devs(sys_, xq))
+    dg = np.abs(devs(sys_, xg))
+    assert dg.max() < 1e-9
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xq), rtol=1e-6, atol=1e-10)

@@ -101,3 +101,19 @@ def test_todense_roundtrip():
     for conv in (ell_from_scipy, dia_from_scipy):
         Ad = conv(A)
         np.testing.assert_allclose(np.asarray(Ad.todense()), A.toarray(), rtol=1e-12)
+
+
+def test_native_kernels_match_scipy():
+    """In-tree C++ host kernels (native/spkernels.cpp) vs scipy."""
+    from structurepreservingiterativesolvers_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    n = 120
+    A = sp.csr_matrix(sp.diags([-1.0, 4.0, -1.0], [-1, 0, 1], shape=(n, n)))
+    x = RNG.standard_normal(n)
+    np.testing.assert_allclose(native.csr_spmv(A, x), A @ x, rtol=1e-14)
+    # tridiagonal ILU(0) has no fill ⇒ exact LU
+    ilu = native.ILU0(A)
+    b = RNG.standard_normal(n)
+    np.testing.assert_allclose(A @ ilu.solve(b), b, rtol=1e-10, atol=1e-12)
