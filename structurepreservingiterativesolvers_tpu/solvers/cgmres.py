@@ -298,6 +298,7 @@ def cgmres(
     ctol: float = 1e-12,
     history: bool = False,
     timing: bool = False,
+    mixed: bool = None,
 ):
     """Constraint-satisfying FGMRES; returns ``(x, info)``.
 
@@ -307,7 +308,7 @@ def cgmres(
     (``deviation``, ``safety``, ``constrained_steps``).
     """
     return _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history,
-                timing, prototypical=False, name="cgmres")
+                timing, prototypical=False, name="cgmres", mixed=mixed)
 
 
 def cgmres_p(
@@ -319,10 +320,11 @@ def cgmres_p(
     pre=None,
     ctol: float = 1e-12,
     history: bool = False,
+    mixed: bool = None,
 ):
     """Prototypical CGMRES: fixed ``k`` iterations, constraints enforced
     cumulatively (iteration j enforces the first j), no stopping tolerance
     (reference solvers.py:328-445; info name 'geosolve')."""
     return _run(A, b, x0, k, tol=0.0, contol=0.0, constraints=constraints,
                 pre=pre, ctol=ctol, history=history, timing=False,
-                prototypical=True, name="geosolve")
+                prototypical=True, name="geosolve", mixed=mixed)

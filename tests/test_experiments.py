@@ -73,3 +73,26 @@ def test_error_sweep_serial(tmp_path):
     # CGMRES tracks the exact solver's discretisation error
     assert cg_["err"][-1] < 5 * exact["err"][-1] + 1e-4
     assert os.path.exists(tmp_path / "error.pickle")
+
+
+def test_fused_evolve_matches_host_loop():
+    """The single-scan device evolution must match the host-driven loop's
+    conservation behaviour."""
+    from structurepreservingiterativesolvers_tpu.experiments.evolve import (
+        fused_evolve,
+    )
+
+    out = fused_evolve("lkdv", N=10, M=50, degree=2, k=30, tol=1e-6)
+    assert out["dm"][-1] < 1e-10
+    assert out["de"][-1] < 1e-8
+    assert np.all(out["safety"] == 1)
+
+
+def test_fused_evolve_swe():
+    from structurepreservingiterativesolvers_tpu.experiments.evolve import (
+        fused_evolve,
+    )
+
+    out = fused_evolve("swe", N=5, M=16, k=15, tol=1e-7)
+    assert out["dm"][-1] < 1e-9
+    assert out["de"][-1] / 30000.0 < 1e-13  # relative to the O(3e4) energy
