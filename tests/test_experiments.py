@@ -93,6 +93,7 @@ def test_fused_evolve_swe():
         fused_evolve,
     )
 
-    out = fused_evolve("swe", N=5, M=16, k=15, tol=1e-7)
+    out = fused_evolve("swe", N=5, M=16, k=20, tol=1e-7, T=1.0)
+    assert np.all(out["safety"] == 1)
     assert out["dm"][-1] < 1e-9
     assert out["de"][-1] / 30000.0 < 1e-13  # relative to the O(3e4) energy
