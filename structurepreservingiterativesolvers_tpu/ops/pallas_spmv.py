@@ -1,15 +1,17 @@
 """Pallas TPU kernel for DIA SpMV.
 
-The XLA path (``dia_spmv``) re-reads the padded x window once per diagonal
-unless fusion catches it.  This kernel makes the data movement explicit and
-minimal: per row-block it DMAs the x window (block + halo) into VMEM once,
-then applies every diagonal as a VPU multiply-add over statically-offset
-slices of that window — so HBM traffic is exactly
-``nnz + n + n`` elements per SpMV, the bandwidth roofline.
+Strategy: one padded host-side window ``x_ext = [x-tail | x | x-head]`` turns
+the (possibly periodic) matrix into pure contiguous-slice reads.  The kernel
+grids over row blocks; each program receives its x block and a small
+precomputed *halo* (the first ``span`` elements of the next block) through
+standard BlockSpecs — no manual DMA, fully pipelined by the Mosaic runtime —
+and applies every diagonal as a VPU multiply-add over statically-offset
+slices of ``concat(x_block, halo)``.  HBM traffic per SpMV is
+``nnz + n(1 + span/R) + n`` elements — the bandwidth roofline.
 
-Host-side preparation (wrap → padded window) matches ``dia_spmv``: the
-periodic matrix is applied as contiguous slices of
-``x_ext = [x-tail | x | x-head]``.
+(The earlier variant that DMA'd overlapping windows from ANY memory crashes
+the Mosaic compiler on this toolchain; static unaligned VMEM slices compile
+fine, hence this formulation.)
 """
 
 from __future__ import annotations
@@ -25,16 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .sparse import DIA
 
 
-def _kernel(offsets, lo, span_pad, R, data_ref, xext_ref, y_ref, xwin, sem):
-    i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        xext_ref.at[pl.ds(i * R, R + span_pad)], xwin, sem
-    )
-    dma.start()
-    dma.wait()
-    acc = data_ref[0, :] * xwin[pl.ds(lo + offsets[0], R)]
+def _kernel(offsets, lo, R, data_ref, x_ref, halo_ref, y_ref):
+    def seg(shift):
+        if shift == 0:
+            return x_ref[:]
+        return jnp.concatenate([x_ref[shift:], halo_ref[0, :shift]])
+
+    acc = data_ref[0, :] * seg(lo + offsets[0])
     for d in range(1, len(offsets)):
-        acc = acc + data_ref[d, :] * xwin[pl.ds(lo + offsets[d], R)]
+        acc = acc + data_ref[d, :] * seg(lo + offsets[d])
     y_ref[:] = acc
 
 
@@ -45,24 +46,28 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
     lo = -min(min(offsets), 0)
     hi = max(max(offsets), 0)
     span = lo + hi
-    # pad the halo span up to a lane multiple so the DMA'd window is aligned
-    span_pad = ((span + 127) // 128) * 128
+    span_pad = max(((span + 127) // 128) * 128, 128)
 
-    R = min(block_rows, n)
+    R = min(block_rows, max(((n + 127) // 128) * 128, 128))
     n_pad = ((n + R - 1) // R) * R
+    grid_n = n_pad // R
 
     if A.wrap:
-        head = x[: hi] if hi else x[:0]
+        head = x[:hi] if hi else x[:0]
         tail = x[n - lo:] if lo else x[:0]
         x_ext = jnp.concatenate([tail, x, head])
     else:
         x_ext = jnp.concatenate(
             [jnp.zeros((lo,), x.dtype), x, jnp.zeros((hi,), x.dtype)]
         )
-    # pad to n_pad + span_pad
     extra = (n_pad + span_pad) - x_ext.shape[0]
     if extra > 0:
         x_ext = jnp.concatenate([x_ext, jnp.zeros((extra,), x.dtype)])
+
+    # per-block halo: halo[i] = x_ext[(i+1)*R : (i+1)*R + span_pad]
+    idx = (jnp.arange(grid_n)[:, None] + 1) * R + jnp.arange(span_pad)[None, :]
+    halo = x_ext[jnp.minimum(idx, x_ext.shape[0] - 1)]
+    xblocks = x_ext[: n_pad]
 
     data = A.data
     if n_pad != n:
@@ -70,22 +75,19 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
             [data, jnp.zeros((data.shape[0], n_pad - n), data.dtype)], axis=1
         )
 
-    grid = (n_pad // R,)
-    kern = partial(_kernel, offsets, lo, span_pad, R)
+    kern = partial(_kernel, offsets, lo, R)
     y = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec((data.shape[0], R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, span_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((R + span_pad,), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(data, x_ext)
+    )(data, xblocks, halo)
     return y[:n]

@@ -50,6 +50,35 @@ def _constraint_eval(bufs, y, con_mask):
     return g * con_mask, J * con_mask[:, None]
 
 
+def solve_dense(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian elimination with partial pivoting, in pure elementwise jnp
+    ops.  XLA:TPU implements LuDecomposition only for f32, but the KKT system
+    must be solved in f64 on f32 hardware (mixed mode) — this routine works
+    in any dtype (the matrices are ≤ (k+m)² ≈ 53², so cost is irrelevant)."""
+    n = K.shape[0]
+    M = jnp.concatenate([K, rhs[:, None]], axis=1)
+
+    def elim(col, M):
+        piv = jnp.argmax(jnp.where(jnp.arange(n) >= col,
+                                   jnp.abs(M[:, col]), -1.0))
+        # swap rows col <-> piv
+        row_c, row_p = M[col], M[piv]
+        M = M.at[col].set(row_p).at[piv].set(row_c)
+        pivval = M[col, col]
+        pivval = jnp.where(pivval == 0, jnp.finfo(M.dtype).tiny, pivval)
+        factors = jnp.where(jnp.arange(n) > col, M[:, col] / pivval, 0.0)
+        return M - factors[:, None] * M[col][None, :]
+
+    M = lax.fori_loop(0, n, elim, M)
+
+    def back(i_rev, x):
+        i = n - 1 - i_rev
+        xi = (M[i, n] - jnp.dot(M[i, :n], x)) / M[i, i]
+        return x.at[i].set(xi)
+
+    return lax.fori_loop(0, n, back, jnp.zeros(n, K.dtype))
+
+
 def constrained_lsq(
     H: jnp.ndarray,  # (k+1, k); columns beyond active prefix are zero
     beta: jnp.ndarray,
@@ -92,7 +121,7 @@ def constrained_lsq(
     def body(carry):
         y, lam, _, it = carry
         K, rhs = newton_system(y, lam)
-        step = jnp.linalg.solve(K, rhs)
+        step = solve_dense(K, rhs)
         dy, dlam = step[:k] * act, step[k:] * con_mask
 
         r_now, _, _ = kkt_residual(y, lam)
