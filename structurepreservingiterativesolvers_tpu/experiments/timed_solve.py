@@ -50,6 +50,14 @@ def time_cgmres(
     pre = pre_builder(system)
     end_pre = time()
 
+    # warm up both solvers so the reported times are steady-state (the
+    # reference runs have no compile phase; ours is reported separately)
+    t0 = time()
+    wrappers.gmres_wrapper(system, x0=x0, k=k, tol=tol, pre=pre)[0].block_until_ready()
+    wrappers.cgmres_wrapper(system, x0=x0, k=k, tol=tol, pre=pre,
+                            timing=True)[0].block_until_ready()
+    compile_time = time() - t0
+
     start_gmres = time()
     gmres_x, solvedict = wrappers.gmres_wrapper(system, x0=x0, k=k, tol=tol, pre=pre)
     gmres_x.block_until_ready()
@@ -84,6 +92,17 @@ def time_cgmres(
     out["time_pre"] = end_pre - start_pre
     out["time_gmres"] = end_gmres - start_gmres
     out["gmres_steps"] = solvedict["steps"]
+    out["compile_time"] = compile_time
+    # per-phase estimates: the fused loop has no host timestamps, so derive
+    # the unconstrained iteration cost from the GMRES run (identical Arnoldi
+    # work) and attribute the remainder to the constrained endgame
+    if solvedict["steps"]:
+        t_unc = out["time_gmres"] / solvedict["steps"]
+        out["iter_time_unconstrained"] = t_unc
+        ncon = max(out["constrained_steps"], 1)
+        out["iter_time_constrained"] = max(
+            out["runtime"] - t_unc * out["unconstrained_steps"], 0.0
+        ) / ncon
     out["conservation"] = conservation
     out["invariant_names"] = names
     return out
