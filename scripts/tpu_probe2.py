@@ -10,7 +10,7 @@ import time
 
 sys.path.insert(0, ".")
 
-CASES = ["dma_1d", "slice_unaligned", "dia_small", "cgmres_time"]
+CASES = ["dia_small", "spmv_speed", "cgmres_time"]
 
 
 def child(case):
@@ -62,6 +62,32 @@ def child(case):
         y2 = s.A @ xv
         print("dia_small OK err", float(jnp.abs(y1 - y2).max()))
 
+    elif case == "spmv_speed":
+        from structurepreservingiterativesolvers_tpu.models import heat
+        from structurepreservingiterativesolvers_tpu.ops.pallas_spmv import dia_spmv_pallas
+
+        s = heat.linforms(M=1024)
+        nnz = s.A_csr.nnz
+        xv = jnp.asarray(np.random.default_rng(0).standard_normal(s.b.shape[0]), s.b.dtype)
+        roll = jax.jit(lambda A, x: A @ x)
+        roll(s.A, xv).block_until_ready()
+        for R in (16384, 65536, 262144):
+            fn = jax.jit(lambda A, x, R=R: dia_spmv_pallas(A, x, block_rows=R))
+            y = fn(s.A, xv).block_until_ready()
+            err = float(jnp.abs(y - roll(s.A, xv)).max())
+            ts = []
+            for _ in range(15):
+                t0 = time.perf_counter(); fn(s.A, xv).block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            tm = float(np.median(ts))
+            print(f"pallas R={R}: {tm*1e6:.1f}us {nnz/tm/1e9:.2f} GNNZ/s err {err:.1e}", flush=True)
+        ts = []
+        for _ in range(15):
+            t0 = time.perf_counter(); roll(s.A, xv).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        tm = float(np.median(ts))
+        print(f"roll: {tm*1e6:.1f}us {nnz/tm/1e9:.2f} GNNZ/s", flush=True)
+
     elif case == "cgmres_time":
         from structurepreservingiterativesolvers_tpu.models import heat
         from structurepreservingiterativesolvers_tpu.solvers import cgmres, gmres
@@ -86,7 +112,7 @@ if __name__ == "__main__":
             print(f"=== {case} ===", flush=True)
             r = subprocess.run([sys.executable, __file__, case],
                                capture_output=True, text=True, timeout=560)
-            tail = (r.stdout + r.stderr).strip().splitlines()
-            for line in tail[-6:]:
-                if "WARN" not in line:
-                    print(line)
+            tail = [ln for ln in (r.stdout + r.stderr).strip().splitlines()
+                    if "WARN" not in ln and not ln.startswith("    @")]
+            for line in tail[-14:]:
+                print(line)

@@ -55,7 +55,10 @@ def init_state(r0: jnp.ndarray, beta: jnp.ndarray, k: int) -> ArnoldiState:
 
 
 def _mgs(Q: jnp.ndarray, w: jnp.ndarray, j: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Modified Gram-Schmidt of w against rows Q[0..j]; returns (w⊥, h column)."""
+    """Modified Gram-Schmidt of w against rows Q[0..j]; returns (w⊥, h column).
+
+    Sequential (latency-bound on TPU) — kept for strict reference parity
+    (reference solvers.py:97-99); the default is CGS2 below."""
     k1 = Q.shape[0]
     h = jnp.zeros(k1, w.dtype)
 
@@ -68,11 +71,27 @@ def _mgs(Q: jnp.ndarray, w: jnp.ndarray, j: jnp.ndarray) -> Tuple[jnp.ndarray, j
     return lax.fori_loop(0, j + 1, body, (w, h))
 
 
+def _cgs2(Q: jnp.ndarray, w: jnp.ndarray, j: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Classical Gram-Schmidt with reorthogonalisation (CGS2).
+
+    Rows of Q beyond the active prefix are zero, so the two batched
+    (k+1,n)-matvec passes orthogonalise exactly against Q[0..j] with no
+    masking — two MXU/VPU ops instead of j sequential dot/axpy pairs.
+    CGS2's orthogonality loss is O(eps), matching MGS for these basis sizes
+    (the TPU-friendly substitute called out in SURVEY §7)."""
+    h1 = Q @ w
+    w = w - h1 @ Q
+    h2 = Q @ w
+    w = w - h2 @ Q
+    return w, h1 + h2
+
+
 def arnoldi_step(
     A,
     prefunc: Callable[[jnp.ndarray], jnp.ndarray],
     st: ArnoldiState,
     j: jnp.ndarray,
+    ortho: str = "cgs2",
 ) -> Tuple[ArnoldiState, jnp.ndarray]:
     """One flexible-Arnoldi iteration; returns updated state and h[j+1,j].
 
@@ -80,7 +99,7 @@ def arnoldi_step(
     """
     z = prefunc(st.Q[j])
     w = A @ z
-    w, hcol = _mgs(st.Q, w, j)
+    w, hcol = (_cgs2 if ortho == "cgs2" else _mgs)(st.Q, w, j)
     hlast = jnp.linalg.norm(w)
     hcol = hcol.at[j + 1].set(hlast)
 

@@ -71,7 +71,7 @@ class CgmresResult(NamedTuple):
 
 @lru_cache(maxsize=64)
 def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
-                mixed: bool = False, kinds: tuple = ()):
+                mixed: bool = False, kinds: tuple = (), ortho: str = "cgs2"):
     # kinds[i] ∈ {'q','g'}: quadratic constraints use the incremental
     # reduction; general (callable) ones get a per-iteration autodiff Taylor
     # model (constraints/general.py).  Empty kinds ⇒ all quadratic.
@@ -108,7 +108,7 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         def body(carry):
             (st, j, x, yk, res, r_prev, safety, started, bufs, ncon, done, brk,
              dev, kkt_it, xs) = carry
-            st, hlast = arnoldi_step(A, prefunc, st, j)
+            st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
             brk_now = hlast == 0
             active = coef_idx <= j
             y_unc = lsq_coeffs(st, j)
@@ -230,7 +230,7 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
 
 def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
-         prototypical, name, mixed=None):
+         prototypical, name, mixed=None, ortho="cgs2"):
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
     cons = tuple(constraints)
@@ -246,7 +246,7 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
         "g" if isinstance(c, GeneralConstraint) else "q" for c in cons
     )
     core = _build_core(int(k), len(cons), static_pre, bool(history),
-                       prototypical, bool(mixed), kinds)
+                       prototypical, bool(mixed), kinds, ortho)
 
     t0 = time()
     out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),
@@ -299,6 +299,7 @@ def cgmres(
     history: bool = False,
     timing: bool = False,
     mixed: bool = None,
+    ortho: str = "cgs2",
 ):
     """Constraint-satisfying FGMRES; returns ``(x, info)``.
 
@@ -308,7 +309,8 @@ def cgmres(
     (``deviation``, ``safety``, ``constrained_steps``).
     """
     return _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history,
-                timing, prototypical=False, name="cgmres", mixed=mixed)
+                timing, prototypical=False, name="cgmres", mixed=mixed,
+                ortho=ortho)
 
 
 def cgmres_p(

@@ -50,7 +50,8 @@ class GmresResult(NamedTuple):
 
 
 @lru_cache(maxsize=64)
-def _build_core(k: int, static_pre, history: bool, true_residual: bool):
+def _build_core(k: int, static_pre, history: bool, true_residual: bool,
+                ortho: str = "cgs2"):
     @jax.jit
     def core(A, b, x0, tol, pre_op) -> GmresResult:
         # static_pre: hashable callable closed over statically; pre_op: a
@@ -77,7 +78,7 @@ def _build_core(k: int, static_pre, history: bool, true_residual: bool):
 
         def body(carry):
             st, j, x, res, done, brk, xs = carry
-            st, hlast = arnoldi_step(A, prefunc, st, j)
+            st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
             brk_now = hlast == 0
             y = lsq_coeffs(st, j)
             x = y @ st.Z + x0
@@ -107,6 +108,7 @@ def gmres(
     pre=None,
     history: bool = False,
     true_residual: bool = True,
+    ortho: str = "cgs2",
 ):
     """Solve ``A x = b`` with right-preconditioned flexible GMRES.
 
@@ -122,7 +124,8 @@ def gmres(
         static_pre, pre_op = None, pre
     else:
         static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
-    core = _build_core(int(k), static_pre, bool(history), bool(true_residual))
+    core = _build_core(int(k), static_pre, bool(history), bool(true_residual),
+                       ortho)
     out = core(A, b, x0, jnp.asarray(tol, b.dtype), pre_op)
 
     steps = int(out.steps)
