@@ -35,10 +35,15 @@ def evolve(
     pre=None,
     warm_start: Optional[bool] = None,
     compute_error: bool = False,
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 50,
     **params,
 ):
     """Run N time steps; returns time series of invariant drift (and L2
-    error for lkdvRK, reference lkdvRK/Evolve.py:82)."""
+    error for lkdvRK, reference lkdvRK/Evolve.py:82).
+
+    ``checkpoint``: optional .npz path — state is saved every
+    ``checkpoint_every`` steps and the run resumes from it if present."""
     model = get_model(problem)
     system = model.linforms(N=N, M=M, degree=degree, **params)
     is_rk = problem.lower() == "lkdvrk"
@@ -71,10 +76,28 @@ def evolve(
     series = {n: [targets0[n]] for n in names}
     errs = [0.0] if compute_error else None
 
+    start_step = 1
+    if checkpoint:
+        from ..utils.checkpoint import load_state, save_state
+
+        resume = load_state(checkpoint)
+        if resume is not None:
+            start_step, z_saved, saved_series = resume
+            x = jnp.asarray(z_saved, system.b.dtype)
+            for nkey in names:
+                if nkey in saved_series:
+                    series[nkey] = list(saved_series[nkey])
+            if compute_error and "err" in saved_series:
+                errs = list(saved_series["err"])
+            time_pts = list(saved_series.get("time", [0.0]))
+            if start_step > 1:
+                system = system.step_update(x)
+            start_step += 1
+
     T = getattr(system.prob, "T", 1.0)
     dt_step = float(T) / N
 
-    for i in range(1, N + 1):
+    for i in range(start_step, N + 1):
         x0 = x if warm_start else jnp.zeros_like(system.b)
         x, sdict = solver(system, x0=x0, k=k, tol=tol, pre=pre)
         steps_hist.append(sdict.get("steps", -1) if isinstance(sdict, dict) else -1)
@@ -86,6 +109,11 @@ def evolve(
         time_pts.append(t_now)
         if compute_error and hasattr(system, "compute_error"):
             errs.append(system.compute_error(x, t=t_now))
+        if checkpoint and (i % checkpoint_every == 0 or i == N):
+            payload = {**series, "time": time_pts}
+            if compute_error:
+                payload["err"] = errs
+            save_state(checkpoint, i, x, payload)
         # device-side next-step system
         if i < N:
             system = system.step_update(x)

@@ -1,1 +1,1 @@
-from . import native  # noqa: F401
+from . import checkpoint, native, profiling  # noqa: F401

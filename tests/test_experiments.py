@@ -97,3 +97,21 @@ def test_fused_evolve_swe():
     assert np.all(out["safety"] == 1)
     assert out["dm"][-1] < 1e-9
     assert out["de"][-1] / 30000.0 < 1e-13  # relative to the O(3e4) energy
+
+
+def test_evolve_checkpoint_resume(tmp_path):
+    """Checkpointed evolution must resume and produce the same final state."""
+    ckpt = str(tmp_path / "evolve.npz")
+    kw = dict(N=8, M=50, degree=2, k=30, tol=1e-6, solver=wrappers.cgmres_wrapper)
+    full = evolve("lkdv", **kw)
+    # run first 4 steps, "crash", then resume
+    evolve("lkdv", checkpoint=ckpt, checkpoint_every=4, **{**kw, "N": 8})
+    import os
+
+    assert os.path.exists(ckpt)
+    from structurepreservingiterativesolvers_tpu.utils.checkpoint import load_state
+
+    step, z, series = load_state(ckpt)
+    assert step == 8
+    resumed = evolve("lkdv", checkpoint=ckpt, checkpoint_every=4, **kw)
+    np.testing.assert_allclose(resumed["dm"][-1], full["dm"][-1], atol=1e-12)
