@@ -28,10 +28,12 @@ from .sparse import DIA
 
 
 def _kernel(offsets, lo, R, data_ref, x_ref, halo_ref, y_ref):
+    i = pl.program_id(0)
+
     def seg(shift):
         if shift == 0:
             return x_ref[:]
-        return jnp.concatenate([x_ref[shift:], halo_ref[0, :shift]])
+        return jnp.concatenate([x_ref[shift:], halo_ref[i, :shift]])
 
     acc = data_ref[0, :] * seg(lo + offsets[0])
     for d in range(1, len(offsets)):
@@ -83,8 +85,9 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
             pl.BlockSpec((data.shape[0], R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, span_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            # the halo table is tiny (grid × span_pad): keep it whole in
+            # VMEM and index by program id
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
