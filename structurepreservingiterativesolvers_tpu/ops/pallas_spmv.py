@@ -1,17 +1,18 @@
-"""Pallas TPU kernel for DIA SpMV.
+"""Pallas TPU kernel for DIA SpMV (tile-aligned 2-D formulation).
 
-Strategy: one padded host-side window ``x_ext = [x-tail | x | x-head]`` turns
-the (possibly periodic) matrix into pure contiguous-slice reads.  The kernel
-grids over row blocks; each program receives its x block and a small
-precomputed *halo* (the first ``span`` elements of the next block) through
-standard BlockSpecs — no manual DMA, fully pipelined by the Mosaic runtime —
-and applies every diagonal as a VPU multiply-add over statically-offset
-slices of ``concat(x_block, halo)``.  HBM traffic per SpMV is
-``nnz + n(1 + span/R) + n`` elements — the bandwidth roofline.
+Goal: HBM traffic of exactly ``nnz + n + n`` elements per SpMV — the
+bandwidth roofline — versus the XLA roll-chain which re-materialises a
+shifted copy of x per diagonal.
 
-(The earlier variant that DMA'd overlapping windows from ANY memory crashes
-the Mosaic compiler on this toolchain; static unaligned VMEM slices compile
-fine, hence this formulation.)
+Layout: vectors are viewed lane-major as (sublanes, 128).  A flat shift by
+``s = q·128 + r`` decomposes into a static sublane slice (by q and q+1) and a
+lane rotation by r, merged with a lane-index select at the seam — all
+tile-aligned vector ops, no gathers, no unaligned slices (1-D formulations
+hit Mosaic limitations on this toolchain; see git history).
+
+Each grid program receives its x tile plus a small per-block halo table
+(the first sublanes of the next block), applies every diagonal as a VPU
+multiply-add, and writes one y tile.
 """
 
 from __future__ import annotations
@@ -26,18 +27,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sparse import DIA
 
+LANES = 128
 
-def _kernel(offsets, lo, R, data_ref, x_ref, halo_ref, y_ref):
+
+def _kernel(offsets, lo, Rb, H, data_ref, x_ref, halo_ref, y_ref):
     i = pl.program_id(0)
+    # window W: (Rb + H, 128) — this block's sublanes plus the halo
+    W = jnp.concatenate([x_ref[:], halo_ref[i]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
 
-    def seg(shift):
-        if shift == 0:
-            return x_ref[:]
-        return jnp.concatenate([x_ref[shift:], halo_ref[i, :shift]])
-
-    acc = data_ref[0, :] * seg(lo + offsets[0])
-    for d in range(1, len(offsets)):
-        acc = acc + data_ref[d, :] * seg(lo + offsets[d])
+    acc = None
+    for d, off in enumerate(offsets):
+        s = lo + off
+        q, r = divmod(s, LANES)
+        A = W[q : q + Rb, :]
+        if r == 0:
+            seg = A
+        else:
+            B = W[q + 1 : q + 1 + Rb, :]
+            rollA = pltpu.roll(A, LANES - r, 1)
+            rollB = pltpu.roll(B, LANES - r, 1)
+            seg = jnp.where(lane < LANES - r, rollA, rollB)
+        term = data_ref[d] * seg
+        acc = term if acc is None else acc + term
     y_ref[:] = acc
 
 
@@ -48,11 +60,15 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
     lo = -min(min(offsets), 0)
     hi = max(max(offsets), 0)
     span = lo + hi
-    span_pad = max(((span + 127) // 128) * 128, 128)
 
-    R = min(block_rows, max(((n + 127) // 128) * 128, 128))
+    R = min(block_rows, max(((n + LANES - 1) // LANES) * LANES, LANES))
+    R = ((R + LANES - 1) // LANES) * LANES
+    Rb = R // LANES
     n_pad = ((n + R - 1) // R) * R
     grid_n = n_pad // R
+    # halo sublanes: enough to cover the largest positive shift
+    H = (lo + hi) // LANES + 2
+    H = ((H + 7) // 8) * 8  # sublane-align the halo block
 
     if A.wrap:
         head = x[:hi] if hi else x[:0]
@@ -62,35 +78,39 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
         x_ext = jnp.concatenate(
             [jnp.zeros((lo,), x.dtype), x, jnp.zeros((hi,), x.dtype)]
         )
-    extra = (n_pad + span_pad) - x_ext.shape[0]
+    tot = n_pad + H * LANES
+    extra = tot - x_ext.shape[0]
     if extra > 0:
         x_ext = jnp.concatenate([x_ext, jnp.zeros((extra,), x.dtype)])
+    x2d = x_ext[:tot].reshape(-1, LANES)  # (n_pad/128 + H, 128)
 
-    # per-block halo: halo[i] = x_ext[(i+1)*R : (i+1)*R + span_pad]
-    idx = (jnp.arange(grid_n)[:, None] + 1) * R + jnp.arange(span_pad)[None, :]
-    halo = x_ext[jnp.minimum(idx, x_ext.shape[0] - 1)]
-    xblocks = x_ext[: n_pad]
+    # halo table: halo[i] = sublanes [(i+1)*Rb, (i+1)*Rb + H)
+    idx = (jnp.arange(grid_n)[:, None] + 1) * Rb + jnp.arange(H)[None, :]
+    halo = x2d[idx]  # (grid_n, H, 128)
+    xmain = x2d[: n_pad // LANES]
 
     data = A.data
     if n_pad != n:
         data = jnp.concatenate(
             [data, jnp.zeros((data.shape[0], n_pad - n), data.dtype)], axis=1
         )
+    data3 = data.reshape(data.shape[0], n_pad // LANES, LANES)
 
-    kern = partial(_kernel, offsets, lo, R)
+    kern = partial(_kernel, offsets, lo, Rb, H)
     y = pl.pallas_call(
         kern,
         grid=(grid_n,),
         in_specs=[
-            pl.BlockSpec((data.shape[0], R), lambda i: (0, i),
+            pl.BlockSpec((data3.shape[0], Rb, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
-            # the halo table is tiny (grid × span_pad): keep it whole in
-            # VMEM and index by program id
+            pl.BlockSpec((Rb, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # tiny whole-array halo table, indexed by program id
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
+        out_specs=pl.BlockSpec((Rb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), x.dtype),
         interpret=interpret,
-    )(data, xblocks, halo)
-    return y[:n]
+    )(data3, xmain, halo)
+    return y.reshape(-1)[:n]
