@@ -52,6 +52,12 @@ class MatComb:
             out = out + c * (A @ x)
         return out
 
+    def todense(self):
+        out = self.coeffs[0] * jnp.asarray(self.mats[0].todense())
+        for c, A in zip(self.coeffs[1:], self.mats[1:]):
+            out = out + c * jnp.asarray(A.todense())
+        return out
+
 
 @_register
 @dataclasses.dataclass(frozen=True)

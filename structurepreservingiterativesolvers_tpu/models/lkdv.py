@@ -146,6 +146,15 @@ class _BlockDiag3:
             axis=0,
         )
 
+    def todense(self):
+        Md = jnp.asarray(self.Mmat.todense())
+        n0 = Md.shape[0]
+        out = jnp.zeros((3 * n0, 3 * n0), Md.dtype)
+        for f, c in enumerate(self.coeffs):
+            if c:
+                out = out.at[f * n0:(f + 1) * n0, f * n0:(f + 1) * n0].set(c * Md)
+        return out
+
 
 import jax.tree_util as _tu
 

@@ -129,16 +129,23 @@ class _EnergyDiag:
     """h²·diag(I, I, c²·I) as an operator (the reference's L matrix role)."""
 
     scales: tuple  # static: per-block scalar weights
+    n0: int  # static: per-field dimension
 
     def __matmul__(self, x):
         parts = jnp.split(x, 3, axis=0)
         return jnp.concatenate([s * p for s, p in zip(self.scales, parts)], axis=0)
 
+    def todense(self):
+        diag = np.concatenate([np.full(self.n0, s) for s in self.scales])
+        return jnp.asarray(np.diag(diag))
+
 
 import jax.tree_util as _tu
 
 _tu.register_pytree_node(
-    _EnergyDiag, lambda o: ((), o.scales), lambda aux, ch: _EnergyDiag(aux)
+    _EnergyDiag,
+    lambda o: ((), (o.scales, o.n0)),
+    lambda aux, ch: _EnergyDiag(aux[0], aux[1]),
 )
 
 
@@ -181,7 +188,7 @@ def linforms(
 
     omega = np.concatenate([np.zeros(2 * n0), np.full(n0, h * h)])
     m0 = omega @ z0
-    Lfull = _EnergyDiag((h * h, h * h, h * h * c * c))
+    Lfull = _EnergyDiag((h * h, h * h, h * h * c * c), n0)
     e0 = 0.5 * z0 @ (np.concatenate([h * h * z0[:n0], h * h * z0[n0 : 2 * n0], h * h * c * c * z0[2 * n0 :]]))
 
     return System(

@@ -115,3 +115,28 @@ def test_evolve_checkpoint_resume(tmp_path):
     assert step == 8
     resumed = evolve("lkdv", checkpoint=ckpt, checkpoint_every=4, **kw)
     np.testing.assert_allclose(resumed["dm"][-1], full["dm"][-1], atol=1e-12)
+
+
+def test_fixture_roundtrip(tmp_path):
+    """Portable CSR fixtures: save a model system, reload, solve, same
+    invariant enforcement (SURVEY §2.4 fixture plan)."""
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.models import lkdv, swe
+    from structurepreservingiterativesolvers_tpu.models.fixtures import (
+        load_fixture,
+        save_fixture,
+    )
+    from structurepreservingiterativesolvers_tpu.solvers import cgmres
+
+    for mod, name in ((lkdv, "lkdv"), (swe, "swe")):
+        s = mod.linforms(M=16)
+        path = str(tmp_path / f"{name}.npz")
+        save_fixture(path, s, name)
+        A, b, z0, cons, A_csr = load_fixture(path)
+        x, info = cgmres(A, b, k=25, tol=1e-8, constraints=cons)
+        assert info["safety"] is True
+        x_ref, info_ref = cgmres(s.A, s.b, k=25, tol=1e-8,
+                                 constraints=s.constraints())
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-8,
+                                   atol=1e-10)
