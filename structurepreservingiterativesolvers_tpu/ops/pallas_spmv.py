@@ -45,8 +45,9 @@ def _kernel(offsets, lo, Rb, H, data_ref, x_ref, halo_ref, y_ref):
             seg = A
         else:
             B = W[q + 1 : q + 1 + Rb, :]
-            rollA = pltpu.roll(A, LANES - r, 1)
-            rollB = pltpu.roll(B, LANES - r, 1)
+            shift = jnp.asarray(LANES - r, jnp.int32)  # i64 shifts crash Mosaic
+            rollA = pltpu.roll(A, shift, 1)
+            rollB = pltpu.roll(B, shift, 1)
             seg = jnp.where(lane < LANES - r, rollA, rollB)
         term = data_ref[d] * seg
         acc = term if acc is None else acc + term
