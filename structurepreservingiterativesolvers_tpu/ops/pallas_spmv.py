@@ -31,9 +31,8 @@ LANES = 128
 
 
 def _kernel(offsets, lo, Rb, H, data_ref, x_ref, halo_ref, y_ref):
-    i = pl.program_id(0)
     # window W: (Rb + H, 128) — this block's sublanes plus the halo
-    W = jnp.concatenate([x_ref[:], halo_ref[i]], axis=0)
+    W = jnp.concatenate([x_ref[:], halo_ref[0]], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
 
     acc = None
@@ -48,7 +47,7 @@ def _kernel(offsets, lo, Rb, H, data_ref, x_ref, halo_ref, y_ref):
             shift = jnp.asarray(LANES - r, jnp.int32)  # i64 shifts crash Mosaic
             rollA = pltpu.roll(A, shift, 1)
             rollB = pltpu.roll(B, shift, 1)
-            seg = jnp.where(lane < LANES - r, rollA, rollB)
+            seg = jnp.where(lane < jnp.int32(LANES - r), rollA, rollB)
         term = data_ref[d] * seg
         acc = term if acc is None else acc + term
     y_ref[:] = acc
@@ -106,8 +105,9 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rb, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # tiny whole-array halo table, indexed by program id
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # per-program halo block (leading dim 1; last two dims aligned)
+            pl.BlockSpec((1, H, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Rb, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

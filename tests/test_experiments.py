@@ -140,3 +140,32 @@ def test_fixture_roundtrip(tmp_path):
                                  constraints=s.constraints())
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-8,
                                    atol=1e-10)
+
+
+def test_report_tabulator_and_plots(tmp_path):
+    """Smoke-test the visualisation parity layer (tabulator → .tex/.csv,
+    convergence and deviation plots)."""
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.experiments import report
+    from structurepreservingiterativesolvers_tpu.models import lkdv
+    from structurepreservingiterativesolvers_tpu.solvers import cgmres_p, gmres
+
+    s = lkdv.linforms(M=20, degree=1)
+    _, gi = gmres(s.A, s.b, k=10, tol=1e-50, history=True)
+    _, ci = cgmres_p(s.A, s.b, k=10, constraints=s.constraints(), history=True)
+    table = report.tabulator(s, [gi, ci], filename=str(tmp_path / "tab"))
+    assert (tmp_path / "tab.tex").exists()
+    assert (tmp_path / "tab.csv").exists()
+    df = table["df"]
+    assert "gmres residual norm" in df.columns
+    assert "geosolve energy deviation" in df.columns
+    p1 = report.convergence_plot(table, filename=str(tmp_path / "conv.pdf"))
+    assert (tmp_path / "conv.pdf").exists()
+
+    runs = {
+        "GMRES": {"time": np.arange(3.0), "dm": np.ones(3) * 1e-5,
+                  "de": np.ones(3) * 1e-6},
+    }
+    report.deviation_plot(runs, filename=str(tmp_path / "dev.pdf"))
+    assert (tmp_path / "dev.pdf").exists()
