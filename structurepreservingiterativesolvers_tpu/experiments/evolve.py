@@ -195,7 +195,11 @@ def fused_evolve(
         return out.x, metrics
 
     z_init = (jnp.zeros(sys0.prob.ns * sys0.dof, dt) if is_rk else sys0.z0)
-    run = jax.jit(lambda z: lax.scan(step, z, None, length=N))
+
+    @jax.jit
+    def run(z):
+        return lax.scan(step, z, None, length=N)
+
     z_final, metrics = run(z_init)
     metrics = jax.tree_util.tree_map(np.asarray, metrics)
 
