@@ -44,6 +44,16 @@ def single_solve(
     system = model.linforms(**params)
     x0 = jnp.zeros_like(system.b)
 
+    if pre == "auto":
+        # per-problem defaults mirroring the reference SingleSolve drivers:
+        # lkdvRK uses an ILU factor (lkdvRK/SingleSolve.py:19-21) → our MXU
+        # block-Jacobi; heat's AMG is built but disabled there
+        # (heat/SingleSolve.py:33-36) → None
+        if problem.lower() == "lkdvrk":
+            pre = model.element_block_preconditioner(system)
+        else:
+            pre = None
+
     x, solvedict = wrappers.gmres_wrapper(system, x0=x0, k=k, tol=tol, pre=pre,
                                           history=True)
     x_con, geodict = wrappers.cgmres_wrapper(system, x0=x0, k=k, tol=tol,
