@@ -76,3 +76,32 @@ def test_gmres_estimate_mode_matches():
     # Givens residual estimate equals the true residual in exact arithmetic
     m = min(len(info_t["res"]), len(info_e["res"]))
     np.testing.assert_allclose(info_t["res"][:m], info_e["res"][:m], rtol=1e-6, atol=1e-10)
+
+
+def test_cgs2_orthogonality_matches_mgs():
+    """CGS2 must deliver MGS-level basis orthogonality (the stability the
+    constrained endgame depends on, SURVEY §7)."""
+    n = 96
+    A = sp.random(n, n, density=0.2, random_state=RNG, format="csr") + 5 * sp.identity(n)
+    from structurepreservingiterativesolvers_tpu.ops import ell_from_scipy
+    from structurepreservingiterativesolvers_tpu.solvers.arnoldi import (
+        arnoldi_step,
+        init_state,
+    )
+    import jax.numpy as jnp
+    from jax import lax
+
+    Ad = ell_from_scipy(A)
+    b = jnp.asarray(RNG.standard_normal(n))
+    k = 40
+    losses = {}
+    for ortho in ("cgs2", "mgs"):
+        st = init_state(b, jnp.linalg.norm(b), k)
+        for j in range(k):
+            st, _ = arnoldi_step(Ad, lambda v: v, st, jnp.int32(j), ortho)
+        Q = np.asarray(st.Q[:k])
+        losses[ortho] = np.abs(Q @ Q.T - np.eye(k)).max()
+    # the reorthogonalised default must hold machine-level orthogonality and
+    # be at least as good as plain MGS (which degrades near convergence)
+    assert losses["cgs2"] < 1e-12, losses
+    assert losses["cgs2"] <= losses["mgs"] * 1.5 + 1e-13, losses
