@@ -42,7 +42,8 @@ def _targets(system, names):
     return out
 
 
-def tabulator(system, dict_list: List[dict], filename: Optional[str] = None):
+def tabulator(system, dict_list: List[dict], filename: Optional[str] = None,
+              print_table: bool = False):
     """DataFrame of residuals + invariant deviations for each solver run.
 
     Each entry of ``dict_list`` is a solver info dict with history
@@ -67,6 +68,11 @@ def tabulator(system, dict_list: List[dict], filename: Optional[str] = None):
         with open(filename + ".tex", "w") as fh:
             fh.write(df.to_latex(index=False))
         df.to_csv(filename + ".csv", index=False)
+    if print_table:
+        with pd.option_context("display.max_rows", None,
+                               "display.max_columns", None,
+                               "display.width", None):
+            print(df)
     return {"df": df, "names": names}
 
 
