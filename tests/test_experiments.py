@@ -169,3 +169,27 @@ def test_report_tabulator_and_plots(tmp_path):
     }
     report.deviation_plot(runs, filename=str(tmp_path / "dev.pdf"))
     assert (tmp_path / "dev.pdf").exists()
+
+
+def test_wrapper_dispatch_threshold():
+    """tol <= 1e-20 must dispatch to the prototypical solver
+    (reference lkdv/LinearSolver.py:50-59)."""
+    from structurepreservingiterativesolvers_tpu.models import lkdv
+
+    s = lkdv.linforms(M=20, degree=1)
+    _, info_p = wrappers.cgmres_wrapper(s, k=8, tol=1e-50)
+    assert info_p["name"] == "geosolve"
+    _, info_c = wrappers.cgmres_wrapper(s, k=8, tol=1e-8)
+    assert info_c["name"] == "cgmres"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        wrappers.cgmres_wrapper(s, k=8, tol=1e-50, timing=True)
+
+
+def test_cli_single_smoke(capsys):
+    from structurepreservingiterativesolvers_tpu.experiments.cli import main
+
+    main(["single", "--problem", "lkdv", "--k", "8", "--M", "20"])
+    outp = capsys.readouterr().out
+    assert "cgmres error" in outp
