@@ -156,7 +156,15 @@ def lsq_coeffs(st: ArnoldiState, j: jnp.ndarray) -> jnp.ndarray:
     R = jnp.where(jnp.eye(k, dtype=bool), jnp.where(active, diag, 1.0), st.R)
     R = jnp.where(active[None, :] & active[:, None] | jnp.eye(k, dtype=bool), R, 0.0)
     rhs = jnp.where(active, st.g[:k], 0.0)
-    return jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
+
+    # explicit masked back-substitution: XLA:TPU's TriangularSolve takes a
+    # slow generic path for tiny systems, and this stays dtype-generic
+    def body(i_rev, y):
+        i = k - 1 - i_rev
+        yi = (rhs[i] - jnp.dot(R[i], y)) / R[i, i]
+        return y.at[i].set(jnp.where(active[i], yi, 0.0))
+
+    return lax.fori_loop(0, k, body, jnp.zeros(k, st.R.dtype))
 
 
 def lsq_residual_estimate(st: ArnoldiState, j: jnp.ndarray) -> jnp.ndarray:
