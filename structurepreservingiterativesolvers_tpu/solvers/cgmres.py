@@ -51,7 +51,12 @@ from ..precond.base import (
     as_preconditioner,
     is_operand_preconditioner,
 )
-from .arnoldi import arnoldi_step, init_state, lsq_coeffs
+from .arnoldi import (
+    arnoldi_step,
+    init_state,
+    lsq_coeffs,
+    lsq_residual_estimate,
+)
 from .kkt import constrained_lsq
 
 _SAFETY_NONE, _SAFETY_OK, _SAFETY_BAD = 0, 1, 2
@@ -71,7 +76,8 @@ class CgmresResult(NamedTuple):
 
 @lru_cache(maxsize=64)
 def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
-                mixed: bool = False, kinds: tuple = (), ortho: str = "cgs2"):
+                mixed: bool = False, kinds: tuple = (), ortho: str = "cgs2",
+                true_residual: bool = True):
     # kinds[i] ∈ {'q','g'}: quadratic constraints use the incremental
     # reduction; general (callable) ones get a per-iteration autodiff Taylor
     # model (constraints/general.py).  Empty kinds ⇒ all quadratic.
@@ -199,11 +205,18 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
             y, safety, dev_j, kit = lax.cond(gate, constrained, unconstrained, None)
 
-            x = y @ st.Z + x0
-            r = jnp.linalg.norm(A @ x - b)
+            if true_residual:
+                x = y @ st.Z + x0
+                r = jnp.linalg.norm(A @ x - b)
+            else:
+                # fast mode: the Givens estimate replaces the per-iteration
+                # ‖Ax−b‖ (one SpMV + one tall matvec saved); the true
+                # residual is recomputed once after the loop
+                x = x0
+                r = lsq_residual_estimate(st, j)
             res = res.at[j].set(r)
             if history:
-                xs = xs.at[j + 1].set(x)
+                xs = xs.at[j + 1].set(y @ st.Z + x0)
 
             if prototypical:
                 done = brk_now
@@ -221,6 +234,9 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         )
         (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
          kkt_it, xs) = lax.while_loop(cond, body, init)
+        if not true_residual:
+            x = yk @ st.Z + x0
+            res = res.at[jnp.maximum(j - 1, 0)].set(jnp.linalg.norm(A @ x - b))
         return CgmresResult(
             x=x, res=res, steps=j, constrained_steps=ncon, safety=safety,
             deviation=dev, breakdown=brk, kkt_iters=kkt_it, xs=xs,
@@ -230,7 +246,7 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
 
 def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
-         prototypical, name, mixed=None, ortho="cgs2"):
+         prototypical, name, mixed=None, ortho="cgs2", true_residual=True):
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
     cons = tuple(constraints)
@@ -246,7 +262,8 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
         "g" if isinstance(c, GeneralConstraint) else "q" for c in cons
     )
     core = _build_core(int(k), len(cons), static_pre, bool(history),
-                       prototypical, bool(mixed), kinds, ortho)
+                       prototypical, bool(mixed), kinds, ortho,
+                       bool(true_residual))
 
     t0 = time()
     out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),
@@ -300,6 +317,7 @@ def cgmres(
     timing: bool = False,
     mixed: bool = None,
     ortho: str = "cgs2",
+    true_residual: bool = True,
 ):
     """Constraint-satisfying FGMRES; returns ``(x, info)``.
 
@@ -310,7 +328,7 @@ def cgmres(
     """
     return _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history,
                 timing, prototypical=False, name="cgmres", mixed=mixed,
-                ortho=ortho)
+                ortho=ortho, true_residual=true_residual)
 
 
 def cgmres_p(
