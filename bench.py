@@ -28,7 +28,32 @@ def _median_time(fn, reps=10, warmup=3):
     return float(np.median(ts))
 
 
+def _backend_healthy(timeout_s: float = 150.0) -> bool:
+    """Probe the default backend in a subprocess — the axon TPU tunnel can
+    wedge so hard that even a tiny matmul hangs; in that case bench falls
+    back to CPU rather than hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float((jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]))"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+
+    if not _backend_healthy():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
