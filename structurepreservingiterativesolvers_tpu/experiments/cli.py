@@ -41,7 +41,7 @@ def main(argv=None):
     p.add_argument("--plot", action="store_true")
 
     p = sub.add_parser("timed", help="size-sweep timing benchmark (TimedSolve)")
-    p.add_argument("--problem", default="heat", choices=["heat", "swe", "lkdv"])
+    p.add_argument("--problem", default="heat", choices=["heat", "swe", "lkdv", "lkdvrk"])
     p.add_argument("--sizes", type=int, nargs="+", default=None)
     p.add_argument("--tol", type=float, default=1e-7)
     p.add_argument("--k", type=int, default=20)

@@ -29,6 +29,10 @@ def default_pre_builder(problem: str):
         return lambda system: _precond.chebyshev(system.A, degree=8)
     if problem == "swe":
         return lambda system: _precond.neumann(system.A, degree=2)
+    if problem.lower() == "lkdvrk":
+        from ..models import lkdvrk
+
+        return lkdvrk.element_block_preconditioner
     return lambda system: None
 
 
