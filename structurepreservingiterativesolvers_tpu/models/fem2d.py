@@ -29,17 +29,16 @@ class SpaceP1:
         self.xy = np.stack([ii.ravel() * self.h, jj.ravel() * self.h], axis=1)
 
         # two triangles per cell, diagonal lower-left → upper-right
-        def vid(i, j):
-            return i * (M + 1) + j
-
-        cells = []
-        for i in range(M):
-            for j in range(M):
-                v00, v10 = vid(i, j), vid(i + 1, j)
-                v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
-                cells.append((v00, v10, v11))
-                cells.append((v00, v11, v01))
-        self.tri = np.asarray(cells)  # (nt, 3)
+        ci, cj = np.meshgrid(np.arange(M), np.arange(M), indexing="ij")
+        v00 = (ci * (M + 1) + cj).ravel()
+        v10 = ((ci + 1) * (M + 1) + cj).ravel()
+        v01 = (ci * (M + 1) + cj + 1).ravel()
+        v11 = ((ci + 1) * (M + 1) + cj + 1).ravel()
+        lower = np.stack([v00, v10, v11], axis=1)
+        upper = np.stack([v00, v11, v01], axis=1)
+        self.tri = np.empty((2 * M * M, 3), dtype=np.int64)
+        self.tri[0::2] = lower
+        self.tri[1::2] = upper
 
     def _geometry(self):
         p = self.xy[self.tri]  # (nt, 3, 2)
