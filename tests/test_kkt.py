@@ -1,0 +1,91 @@
+"""KKT solver unit tests: exactness on quadratic problems, warm starts,
+masking, and the overconstrained-fallback semantics
+(reference solvers.py:256-284)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from structurepreservingiterativesolvers_tpu.constraints.quadratic import (
+    QuadraticConstraint,
+    ReducedBuffers,
+)
+from structurepreservingiterativesolvers_tpu.models import lkdv
+from structurepreservingiterativesolvers_tpu.solvers import cgmres
+from structurepreservingiterativesolvers_tpu.solvers.kkt import (
+    constrained_lsq,
+    solve_dense,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_solve_dense_vs_numpy():
+    for n in (3, 17, 53):
+        K = RNG.standard_normal((n, n)) + np.eye(n)
+        rhs = RNG.standard_normal(n)
+        x = np.asarray(solve_dense(jnp.asarray(K), jnp.asarray(rhs)))
+        np.testing.assert_allclose(x, np.linalg.solve(K, rhs), rtol=1e-9, atol=1e-10)
+
+
+def _lsq_setup(k=8, rows=9):
+    H = np.zeros((rows, k))
+    H[: k + 1, :] = np.triu(RNG.standard_normal((rows, k)), -1)[: rows, :]
+    beta = 2.0
+    return jnp.asarray(H), jnp.asarray(beta)
+
+
+def test_unconstrained_kkt_matches_lstsq():
+    k = 8
+    H, beta = _lsq_setup(k)
+    buf = ReducedBuffers(
+        t0=jnp.asarray(0.0), t1=jnp.zeros(k), T2=jnp.zeros((k, k))
+    )
+    res = constrained_lsq(
+        H, beta, (buf,), jnp.zeros(k), jnp.ones(k, bool), jnp.zeros(1)
+    )
+    rhs = np.zeros(H.shape[0])
+    rhs[0] = float(beta)
+    y_ref = np.linalg.lstsq(np.asarray(H), rhs, rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(res.y), y_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_linear_constraint_enforced_exactly():
+    k = 8
+    H, beta = _lsq_setup(k)
+    obj = ReducedBuffers(t0=jnp.asarray(0.0), t1=jnp.zeros(k), T2=jnp.zeros((k, k)))
+    # linear constraint: sum(y) = 1
+    con = ReducedBuffers(t0=jnp.asarray(-1.0), t1=jnp.ones(k), T2=jnp.zeros((k, k)))
+    res = constrained_lsq(
+        H, beta, (con,), jnp.zeros(k), jnp.ones(k, bool), jnp.ones(1)
+    )
+    assert abs(float(jnp.sum(res.y)) - 1.0) < 1e-12
+    assert float(res.deviation) < 1e-12
+
+
+def test_quadratic_constraint_enforced():
+    k = 6
+    H, beta = _lsq_setup(k, rows=7)
+    # ‖y‖² = 1 (sphere)
+    con = ReducedBuffers(t0=jnp.asarray(-1.0), t1=jnp.zeros(k), T2=jnp.eye(k))
+    y0 = jnp.ones(k) / np.sqrt(k)
+    res = constrained_lsq(H, beta, (con,), y0, jnp.ones(k, bool), jnp.ones(1))
+    assert abs(float(res.y @ res.y) - 1.0) < 1e-10
+
+
+def test_overconstrained_fallback_in_cgmres():
+    """Two contradictory constraints: the KKT cannot satisfy both; the solver
+    must degrade gracefully — finite iterates, safety latch False, full k
+    iterations (reference solvers.py:271-278 semantics)."""
+    s = lkdv.linforms(M=30, degree=1)
+    n = s.b.shape[0]
+    v = jnp.zeros(n).at[0].set(1.0)
+    c1 = QuadraticConstraint(M=None, v=v, c=jnp.asarray(0.0), name="a")
+    c2 = QuadraticConstraint(M=None, v=v, c=jnp.asarray(1.0), name="b")  # x[0]=-1 AND x[0]=0
+    x, info = cgmres(s.A, s.b, k=12, tol=1e-10, constraints=[c1, c2])
+    assert np.isfinite(np.asarray(x)).all()
+    # NaN-fallback leaves the latch untouched (None); a non-NaN infeasible
+    # solve trips it to False — either way never True, and no early exit
+    assert info["safety"] is not True
+    assert info["steps"] == 12  # refused to terminate early
