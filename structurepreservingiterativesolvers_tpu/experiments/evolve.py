@@ -144,6 +144,7 @@ def fused_evolve(
     ctol: float = 1e-12,
     pre=None,
     warm_start: bool = True,
+    mesh=None,
     **params,
 ):
     """Whole time evolution as ONE jitted ``lax.scan``: per step the system is
@@ -152,8 +153,13 @@ def fused_evolve(
     answer to the reference's per-step reassemble-and-solve Python loop
     (lkdv/Evolve.py:55-66).
 
+    ``mesh``: optional ``jax.sharding.Mesh`` — the system is row-sharded over
+    it and the whole scan runs distributed (GSPMD collectives).
+
     Returns drift series identical in meaning to ``evolve``'s.
     """
+    import dataclasses as _dc
+
     import jax
     from jax import lax
 
@@ -162,6 +168,19 @@ def fused_evolve(
 
     model = get_model(problem)
     sys0 = model.linforms(N=N, M=M, degree=degree, **params)
+
+    if mesh is not None:
+        from ..ops.sparse import DIA, ELL
+        from ..parallel import shard_matrix, shard_vector
+
+        updates = {}
+        for f in _dc.fields(sys0):
+            val = getattr(sys0, f.name)
+            if isinstance(val, (DIA, ELL)):
+                updates[f.name] = shard_matrix(val, mesh)
+            elif isinstance(val, jnp.ndarray) and val.ndim == 1 and val.size > 16:
+                updates[f.name] = shard_vector(val, mesh)
+        sys0 = _dc.replace(sys0, **updates)
     is_rk = problem.lower() == "lkdvrk"
     cons0 = tuple(sys0.constraints())
     dt = sys0.b.dtype

@@ -100,3 +100,17 @@ def test_halo_spmv_matches_local(mesh):
     A2 = shard_matrix(dia_from_scipy(Ah2), mesh)
     y2 = dia_spmv_halo(A2, x_sh, mesh)
     np.testing.assert_allclose(np.asarray(y2), Ah2 @ x, rtol=1e-12)
+
+
+def test_fused_evolve_sharded(mesh):
+    """The whole scanned evolution runs row-sharded over the mesh with
+    matching conservation behaviour."""
+    from structurepreservingiterativesolvers_tpu.experiments.evolve import (
+        fused_evolve,
+    )
+
+    ref = fused_evolve("swe", N=4, M=8, k=20, tol=1e-7, T=1.0)
+    sh = fused_evolve("swe", N=4, M=8, k=20, tol=1e-7, T=1.0, mesh=mesh)
+    assert list(ref["steps"]) == list(sh["steps"])
+    np.testing.assert_allclose(sh["de"], ref["de"], atol=1e-10)
+    assert np.all(sh["safety"] == 1)
