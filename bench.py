@@ -60,7 +60,8 @@ def main():
     from structurepreservingiterativesolvers_tpu.models import heat
     from structurepreservingiterativesolvers_tpu.solvers import cgmres, gmres
 
-    M = 1024
+    on_accel = jax.default_backend() != "cpu"
+    M = 1024 if on_accel else 512  # keep the CPU-fallback path bounded
     sys_ = heat.linforms(M=M, N=100)
     A, b = sys_.A, sys_.b
     nnz = sys_.A_csr.nnz
@@ -83,7 +84,7 @@ def main():
     # actually reach tol for the constrained endgame to certify.
     from structurepreservingiterativesolvers_tpu import precond
 
-    s2 = heat.linforms(M=256, N=100)
+    s2 = heat.linforms(M=256 if on_accel else 128, N=100)
     cons = s2.constraints()
     pre = precond.chebyshev(s2.A, degree=8)
     xg, gi = gmres(s2.A, s2.b, k=40, tol=1e-6, pre=pre)

@@ -173,7 +173,15 @@ def error_plot(tmpdir: str = "tmp", filename: Optional[str] = None):
 
 
 if __name__ == "__main__":
-    # worker-process entry: solver degree tstages tol N M k tmpdir
+    # worker-process entry: solver degree tstages tol N M k tmpdir.
+    # Honour JAX_PLATFORMS explicitly — the axon site-package overrides the
+    # env var, so workers spawned from a CPU-forced parent must re-force it
+    # through jax.config (otherwise they'd target the TPU tunnel).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat.split(",")[0])
     a = sys.argv[1:]
     run_single(a[0], int(a[1]), int(a[2]), float(a[3]), int(a[4]), int(a[5]),
                int(a[6]), a[7])

@@ -71,6 +71,7 @@ class CgmresResult(NamedTuple):
     deviation: jnp.ndarray
     breakdown: jnp.ndarray
     kkt_iters: jnp.ndarray
+    fallbacks: jnp.ndarray  # constrained solves that NaN'd and fell back
     xs: Optional[jnp.ndarray]
 
 
@@ -108,12 +109,12 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
         def cond(carry):
             (st, j, x, yk, res, r_prev, safety, started, bufs, ncon, done, brk,
-             dev, kkt_it, xs) = carry
+             dev, kkt_it, nfb, xs) = carry
             return (j < k) & ~done
 
         def body(carry):
             (st, j, x, yk, res, r_prev, safety, started, bufs, ncon, done, brk,
-             dev, kkt_it, xs) = carry
+             dev, kkt_it, nfb, xs) = carry
             st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
             brk_now = hlast == 0
             active = coef_idx <= j
@@ -198,12 +199,15 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                     jnp.where(kkt.deviation > floor, _SAFETY_BAD, _SAFETY_OK),
                 )
                 return (y, new_safety.astype(jnp.int32),
-                        kkt.deviation.astype(dt), kkt.iters)
+                        kkt.deviation.astype(dt), kkt.iters,
+                        bad.astype(jnp.int32))
 
             def unconstrained(_):
-                return y_unc, safety, jnp.asarray(jnp.inf, dt), jnp.int32(0)
+                return (y_unc, safety, jnp.asarray(jnp.inf, dt), jnp.int32(0),
+                        jnp.int32(0))
 
-            y, safety, dev_j, kit = lax.cond(gate, constrained, unconstrained, None)
+            y, safety, dev_j, kit, fb = lax.cond(
+                gate, constrained, unconstrained, None)
 
             if true_residual:
                 x = y @ st.Z + x0
@@ -224,22 +228,23 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 done = ((r < tol) & (safety == _SAFETY_OK)) | brk_now
             ncon = ncon + gate.astype(jnp.int32)
             return (st, j + 1, x, y, res, r, safety, started_new, bufs, ncon,
-                    done, brk | brk_now, dev_j, kkt_it + kit, xs)
+                    done, brk | brk_now, dev_j, kkt_it + kit, nfb + fb, xs)
 
         init = (
             st0, jnp.int32(0), x0, jnp.zeros(k, dt), res0, beta,
             jnp.int32(_SAFETY_NONE), jnp.bool_(False), bufs0, jnp.int32(0),
             jnp.bool_(False), jnp.bool_(False), jnp.asarray(jnp.inf, dt),
-            jnp.int32(0), xs0,
+            jnp.int32(0), jnp.int32(0), xs0,
         )
         (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
-         kkt_it, xs) = lax.while_loop(cond, body, init)
+         kkt_it, nfb, xs) = lax.while_loop(cond, body, init)
         if not true_residual:
             x = yk @ st.Z + x0
             res = res.at[jnp.maximum(j - 1, 0)].set(jnp.linalg.norm(A @ x - b))
         return CgmresResult(
             x=x, res=res, steps=j, constrained_steps=ncon, safety=safety,
-            deviation=dev, breakdown=brk, kkt_iters=kkt_it, xs=xs,
+            deviation=dev, breakdown=brk, kkt_iters=kkt_it, fallbacks=nfb,
+            xs=xs,
         )
 
     return core
@@ -273,6 +278,28 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
 
     steps = int(out.steps)
     ncon = int(out.constrained_steps)
+    # host-side warnings mirroring the reference's UX (solvers.py:104-106,
+    # 267-273); the device loop records the conditions, we report them
+    import warnings as _warnings
+
+    if bool(out.breakdown):
+        _warnings.warn(
+            "GMRES broke down, either initial guess is exact or, more "
+            "likely, something has gone wrong."
+        )
+    if int(out.fallbacks) > 0:
+        _warnings.warn(
+            f"Constrained solve failed on {int(out.fallbacks)} iteration(s), "
+            "defaulted to standard solve. Problem likely overconstrained, a "
+            "smaller solver tolerance may be required."
+        )
+    if int(out.safety) == _SAFETY_BAD:
+        _warnings.warn(
+            f"Constrained solve failed to preserve constraints "
+            f"(deviation {float(out.deviation):.3e}); problem likely "
+            "overconstrained — a smaller solver tolerance may be required.",
+            RuntimeWarning,
+        )
     info = {
         "name": name,
         "res": np.asarray(out.res[:steps]),
@@ -282,6 +309,7 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
         "deviation": float(out.deviation),
         "breakdown": bool(out.breakdown),
         "kkt_iters": int(out.kkt_iters),
+        "fallbacks": int(out.fallbacks),
     }
     if history:
         info["x"] = np.asarray(out.xs[: steps + 1])

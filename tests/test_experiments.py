@@ -193,3 +193,18 @@ def test_cli_single_smoke(capsys):
     main(["single", "--problem", "lkdv", "--k", "8", "--M", "20"])
     outp = capsys.readouterr().out
     assert "cgmres error" in outp
+
+
+def test_error_sweep_parallel_fanout(tmp_path):
+    """Process fan-out machinery (reference ErrorGenerator.py subprocess
+    pool): small grid, 2 workers."""
+    from structurepreservingiterativesolvers_tpu.experiments.error_sweep import (
+        run_sweep,
+    )
+
+    merged = run_sweep(
+        grid=[(1, 1, 1e-6)], solvers=("Exact", "CGMRES"), N=2, M=30, k=40,
+        tmpdir=str(tmp_path), parallel=True, max_processes=2,
+    )
+    assert len(merged) == 2
+    assert {m["solver"] for m in merged} == {"Exact", "CGMRES"}
