@@ -184,29 +184,54 @@ def _mass_inverse(Mh: sp.csr_matrix, fem: Space1D) -> sp.csr_matrix:
     return sp.csr_matrix(np.linalg.inv(Mh.toarray()))
 
 
-def element_block_preconditioner(system: "System", elems_per_block: int = 2):
-    """Block-Jacobi preconditioner coupling all fields and stages of
+def element_block_preconditioner(system: "System", elems_per_block: int = 2,
+                                 overlap: int = 0):
+    """Block preconditioner coupling all fields and stages of
     ``elems_per_block`` adjacent elements — the TPU-native stand-in for the
     reference's SuperLU ILU factor (lkdvRK/Evolve.py:51-52): the per-block
     dense solves run as one batched MXU matmul instead of sequential
-    triangular solves."""
+    triangular solves.  ``overlap`` > 0 upgrades to restricted additive
+    Schwarz with that many halo elements per side (periodic), cutting the
+    iteration count further."""
     from ..precond import block_jacobi
+    from ..precond.jacobi import ras
 
     n0, prob = system.n0, system.prob
     nloc = prob.degree + 1
     ne = n0 // nloc
     if ne % elems_per_block:
         raise ValueError("elems_per_block must divide the element count")
-    blocks = []
-    for e0 in range(0, ne, elems_per_block):
+
+    def elem_dofs(elems):
         idx = []
         for st in range(prob.ns):
             for f in range(3):
                 base = st * 3 * n0 + f * n0
-                for e in range(e0, e0 + elems_per_block):
+                for e in elems:
+                    e = e % ne
                     idx.extend(range(base + e * nloc, base + (e + 1) * nloc))
-        blocks.append(np.asarray(idx))
-    return block_jacobi(system.A_csr, blocks, dtype=system.b.dtype)
+        return np.asarray(idx)
+
+    if overlap == 0:
+        blocks = [
+            elem_dofs(range(e0, e0 + elems_per_block))
+            for e0 in range(0, ne, elems_per_block)
+        ]
+        return block_jacobi(system.A_csr, blocks, dtype=system.b.dtype)
+
+    blocks, owned = [], []
+    width = elems_per_block + 2 * overlap
+    for e0 in range(0, ne, elems_per_block):
+        elems = list(range(e0 - overlap, e0 + elems_per_block + overlap))
+        blocks.append(elem_dofs(elems))
+        own = np.zeros(width * prob.ns * 3 * nloc, dtype=bool)
+        # ownership: the central elems_per_block elements of every field/stage
+        per_field = width * nloc
+        mask1 = np.zeros(per_field, dtype=bool)
+        mask1[overlap * nloc:(overlap + elems_per_block) * nloc] = True
+        own = np.tile(mask1, prob.ns * 3)
+        owned.append(own)
+    return ras(system.A_csr, blocks, owned, dtype=system.b.dtype)
 
 
 def linforms(

@@ -105,3 +105,53 @@ def contiguous_blocks(n: int, bs: int) -> list:
     if n % bs:
         raise ValueError(f"n={n} not divisible by block size {bs}")
     return list(np.arange(n).reshape(n // bs, bs))
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class RAS:
+    """Restricted additive Schwarz: overlapping dense block solves, but each
+    dof takes its value only from the block that owns it (interior mask) —
+    the standard overlap upgrade of block-Jacobi, still one gather + one
+    batched MXU matmul + one scatter."""
+
+    idx: jnp.ndarray  # (nb, bs) int32 — overlapping blocks
+    inv: jnp.ndarray  # (nb, bs, bs)
+    own: jnp.ndarray  # (nb, bs) bool — interior (owned) positions
+
+    _static = ()
+
+    def __call__(self, v):
+        gathered = v[self.idx]
+        solved = jnp.einsum(
+            "pij,pj->pi", self.inv, gathered,
+            preferred_element_type=gathered.dtype,
+        )
+        flat_idx = jnp.where(self.own, self.idx, v.shape[0])  # park non-owned
+        out = jnp.zeros(v.shape[0] + 1, v.dtype).at[flat_idx.reshape(-1)].set(
+            jnp.where(self.own, solved, 0.0).reshape(-1)
+        )
+        return out[:-1]
+
+    def solve(self, v):
+        return self(v)
+
+
+def ras(A_csr, blocks: Sequence[np.ndarray], owned: Sequence[np.ndarray],
+        dtype=None) -> RAS:
+    """Build restricted additive Schwarz from overlapping index blocks and
+    per-block ownership masks (same lengths as ``blocks``)."""
+    import scipy.sparse as sp
+
+    A_csr = sp.csr_matrix(A_csr)
+    blocks = [np.asarray(b) for b in blocks]
+    bs = len(blocks[0])
+    if any(len(b) != bs for b in blocks):
+        raise ValueError("blocks must have uniform size")
+    inv = np.stack([np.linalg.inv(A_csr[b][:, b].toarray()) for b in blocks])
+    dtype = dtype or inv.dtype
+    return RAS(
+        idx=jnp.asarray(np.stack(blocks), jnp.int32),
+        inv=jnp.asarray(inv, dtype),
+        own=jnp.asarray(np.stack([o.astype(bool) for o in owned])),
+    )

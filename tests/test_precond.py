@@ -84,3 +84,15 @@ def test_amg_with_cgmres_constraints():
     assert info["safety"] is True
     inv = s.compute_invariants(x)
     assert abs(float(inv["mass"] - s.m0)) < 1e-10
+
+
+def test_ras_overlap_beats_block_jacobi():
+    """Restricted additive Schwarz (overlap) must cut iteration counts
+    relative to non-overlapping block-Jacobi on the stiff RK system."""
+    s = lkdvrk.linforms(N=10, M=50, degree=3, tstages=2, T=1.0)
+    pre_bj = lkdvrk.element_block_preconditioner(s, elems_per_block=2)
+    pre_ras = lkdvrk.element_block_preconditioner(s, elems_per_block=2, overlap=1)
+    _, bj = cgmres(s.A, s.b, k=60, tol=1e-6, constraints=s.constraints(), pre=pre_bj)
+    _, rs = cgmres(s.A, s.b, k=60, tol=1e-6, constraints=s.constraints(), pre=pre_ras)
+    assert rs["steps"] < bj["steps"]
+    assert rs["safety"] is True
