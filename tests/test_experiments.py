@@ -208,3 +208,35 @@ def test_error_sweep_parallel_fanout(tmp_path):
     )
     assert len(merged) == 2
     assert {m["solver"] for m in merged} == {"Exact", "CGMRES"}
+
+
+def test_vmapped_batched_cgmres():
+    """A batch of constrained solves as one vmapped program must match the
+    individual solves (on-device sweep fan-out, SURVEY §7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.experiments.batched import (
+        cgmres_many,
+    )
+    from structurepreservingiterativesolvers_tpu.models import lkdv
+    from structurepreservingiterativesolvers_tpu.solvers import cgmres
+
+    s = lkdv.linforms(M=50, degree=1)
+    systems = [
+        s.step_update(s.z0 * (1.0 + 0.01 * i)) for i in range(3)
+    ]
+    Bs = jnp.stack([t.b for t in systems])
+    cons_list = [t.constraints() for t in systems]
+    cons_batched = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls)
+        if hasattr(ls[0], "ndim") and ls[0].ndim == 0 else ls[0],
+        *cons_list,
+    )
+    xs, info = cgmres_many(s.A, Bs, constraints_batched=cons_batched, k=20,
+                           tol=1e-8)
+    assert list(info["safety"]) == [1, 1, 1]
+    for i, t in enumerate(systems):
+        xi, _ = cgmres(t.A, t.b, k=20, tol=1e-8, constraints=t.constraints())
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi),
+                                   rtol=1e-8, atol=1e-11)
