@@ -10,20 +10,52 @@ whole sweep on the accelerator with one compiled program.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..precond.base import as_preconditioner, is_operand_preconditioner
 from ..solvers.cgmres import _build_core
 
 
+def batch_constraints(cons_list: Sequence) -> Tuple[tuple, tuple]:
+    """Merge per-item constraint pytrees into one batched pytree + vmap axes.
+
+    Leaves identical across items are shared (axis None); varying leaves are
+    stacked on a new leading axis (axis 0).  Comparison is by value, so there
+    is no shape-collision guessing."""
+    td0 = jax.tree_util.tree_structure(tuple(cons_list[0]))
+    flats = [jax.tree_util.tree_flatten(tuple(c))[0] for c in cons_list]
+    leaves, axes = [], []
+    for i in range(len(flats[0])):
+        ls = [f[i] for f in flats]
+        same = all(
+            l is ls[0]
+            or (
+                hasattr(l, "shape")
+                and l.shape == ls[0].shape
+                and bool(jnp.all(l == ls[0]))
+            )
+            for l in ls[1:]
+        )
+        if same:
+            leaves.append(ls[0])
+            axes.append(None)
+        else:
+            leaves.append(jnp.stack(ls))
+            axes.append(0)
+    batched = jax.tree_util.tree_unflatten(td0, leaves)
+    in_axes = jax.tree_util.tree_unflatten(td0, axes)
+    return batched, in_axes
+
+
 def cgmres_many(
     A,
     Bs: jnp.ndarray,  # (batch, n) right-hand sides
+    constraints_list: Sequence[Sequence] = (),  # per-item constraint lists
     X0s: Optional[jnp.ndarray] = None,
-    constraints_batched: Sequence = (),  # constraints with batched leaves
     k: int = 30,
     tol: float = 1e-8,
     contol: float = 10.0,
@@ -32,17 +64,14 @@ def cgmres_many(
     mixed: Optional[bool] = None,
 ):
     """Solve A x_i = b_i for a batch of right-hand sides with per-item
-    constraint targets, as ONE vmapped device program.
-
-    ``constraints_batched``: QuadraticConstraint pytrees whose array leaves
-    carry a leading batch dimension where they vary (e.g. per-item ``c``)
-    and no batch dimension where shared (e.g. the matrix M) — in_axes are
-    inferred per leaf.
-    """
+    constraint targets, as ONE vmapped device program."""
     Bs = jnp.asarray(Bs)
-    batch, n = Bs.shape
     X0s = jnp.zeros_like(Bs) if X0s is None else jnp.asarray(X0s, Bs.dtype)
-    cons = tuple(constraints_batched)
+    if constraints_list:
+        cons, cons_axes = batch_constraints(list(constraints_list))
+    else:
+        cons, cons_axes = (), ()
+    m = len(cons)
     if mixed is None:
         mixed = Bs.dtype == jnp.float32 and jax.config.jax_enable_x64
     if is_operand_preconditioner(pre):
@@ -51,17 +80,8 @@ def cgmres_many(
         static_pre = as_preconditioner(pre) if pre is not None else None
         pre_op = None
 
-    core = _build_core(int(k), len(cons), static_pre, False, False,
-                       bool(mixed), ("q",) * len(cons))
-
-    # infer per-leaf in_axes for the constraint pytrees: batched iff the
-    # leading dimension equals the batch size and the leaf is "per-item"
-    def axis_for(leaf):
-        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == batch:
-            return 0
-        return None
-
-    cons_axes = jax.tree_util.tree_map(axis_for, cons)
+    core = _build_core(int(k), m, static_pre, False, False, bool(mixed),
+                       ("q",) * m)
     dt = Bs.dtype
 
     vm = jax.vmap(
@@ -73,8 +93,8 @@ def cgmres_many(
     )
     out = vm(Bs, X0s, cons)
     return out.x, {
-        "steps": jax.device_get(out.steps),
-        "deviation": jax.device_get(out.deviation),
-        "safety": jax.device_get(out.safety),
-        "res": jax.device_get(out.res),
+        "steps": np.asarray(out.steps),
+        "deviation": np.asarray(out.deviation),
+        "safety": np.asarray(out.safety),
+        "res": np.asarray(out.res),
     }

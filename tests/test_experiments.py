@@ -228,12 +228,7 @@ def test_vmapped_batched_cgmres():
     ]
     Bs = jnp.stack([t.b for t in systems])
     cons_list = [t.constraints() for t in systems]
-    cons_batched = jax.tree_util.tree_map(
-        lambda *ls: jnp.stack(ls)
-        if hasattr(ls[0], "ndim") and ls[0].ndim == 0 else ls[0],
-        *cons_list,
-    )
-    xs, info = cgmres_many(s.A, Bs, constraints_batched=cons_batched, k=20,
+    xs, info = cgmres_many(s.A, Bs, constraints_list=cons_list, k=20,
                            tol=1e-8)
     assert list(info["safety"]) == [1, 1, 1]
     for i, t in enumerate(systems):
