@@ -1,1 +1,1 @@
-from . import fem1d, fem2d, heat, lkdv, lkdvrk, swe, tableaux  # noqa: F401
+from . import fem1d, fem2d, fixtures, heat, lkdv, lkdvrk, swe, tableaux  # noqa: F401
