@@ -118,7 +118,10 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
             brk_now = hlast == 0
             active = coef_idx <= j
-            y_unc = lsq_coeffs(st, j)
+            if true_residual or history:
+                y_unc = lsq_coeffs(st, j)
+            else:
+                y_unc = None  # fast mode: computed only when actually needed
 
             if prototypical:
                 gate = jnp.bool_(True)
@@ -158,6 +161,10 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
             # --- coefficient solve ---------------------------------------
             def constrained(_):
+                y_fallback = lsq_coeffs(st, j) if y_unc is None else y_unc
+                warm = yk if true_residual or history else jnp.where(
+                    started, yk, y_fallback
+                )
                 kkt_tol = jnp.maximum(
                     ctol.astype(cdtype) * 0.1,
                     100.0 * jnp.finfo(cdtype).eps,
@@ -168,14 +175,14 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 gi = iter(gen_cons)
                 all_bufs = tuple(
                     bufs[q_index[i]] if kinds[i] == "q"
-                    else taylor_buffers(next(gi), yk, st.Z, x0, cdtype)
+                    else taylor_buffers(next(gi), warm, st.Z, x0, cdtype)
                     for i in range(m)
                 )
                 kkt = constrained_lsq(st.H.astype(cdtype), beta.astype(cdtype),
-                                      all_bufs, yk.astype(cdtype), active,
+                                      all_bufs, warm.astype(cdtype), active,
                                       con_mask, kkt_tol=kkt_tol)
                 bad = jnp.any(jnp.isnan(kkt.y))
-                y = jnp.where(bad, y_unc, kkt.y.astype(dt))
+                y = jnp.where(bad, y_fallback, kkt.y.astype(dt))
                 # the Taylor model is exact for quadratic g; for general g
                 # re-check the true constraint at the accepted coefficients
                 dev_true = kkt.deviation
@@ -203,7 +210,10 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                         bad.astype(jnp.int32))
 
             def unconstrained(_):
-                return (y_unc, safety, jnp.asarray(jnp.inf, dt), jnp.int32(0),
+                # fast mode: keep the (stale) warm-start coefficients — they
+                # are only consumed at constrained-phase entry
+                y_here = yk if y_unc is None else y_unc
+                return (y_here, safety, jnp.asarray(jnp.inf, dt), jnp.int32(0),
                         jnp.int32(0))
 
             y, safety, dev_j, kit, fb = lax.cond(
@@ -239,7 +249,14 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
          kkt_it, nfb, xs) = lax.while_loop(cond, body, init)
         if not true_residual:
-            x = yk @ st.Z + x0
+            # yk holds the last constrained coefficients; if the loop never
+            # entered the constrained phase (breakdown), fall back to the LSQ
+            y_fin = lax.cond(
+                ncon > 0,
+                lambda: yk,
+                lambda: lsq_coeffs(st, jnp.maximum(j - 1, 0)),
+            )
+            x = y_fin @ st.Z + x0
             res = res.at[jnp.maximum(j - 1, 0)].set(jnp.linalg.norm(A @ x - b))
         return CgmresResult(
             x=x, res=res, steps=j, constrained_steps=ncon, safety=safety,

@@ -80,11 +80,15 @@ def _build_core(k: int, static_pre, history: bool, true_residual: bool,
             st, j, x, res, done, brk, xs = carry
             st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
             brk_now = hlast == 0
-            y = lsq_coeffs(st, j)
-            x = y @ st.Z + x0
+            if true_residual or history:
+                y = lsq_coeffs(st, j)
+                x = y @ st.Z + x0
             if true_residual:
                 r = jnp.linalg.norm(A @ x - b)
             else:
+                # fast mode: no coefficient solve, no iterate reconstruction,
+                # no extra SpMV per iteration — the Givens estimate drives
+                # convergence, x is built once after the loop
                 r = lsq_residual_estimate(st, j)
             res = res.at[j].set(r)
             if history:
@@ -94,6 +98,10 @@ def _build_core(k: int, static_pre, history: bool, true_residual: bool,
 
         init = (st0, jnp.int32(0), x0, res0, beta < tol, jnp.bool_(False), xs0)
         st, j, x, res, done, brk, xs = lax.while_loop(cond, body, init)
+        if not true_residual and not history:
+            y = lsq_coeffs(st, jnp.maximum(j - 1, 0))
+            x = jnp.where(j > 0, y @ st.Z + x0, x0)
+            res = res.at[jnp.maximum(j - 1, 0)].set(jnp.linalg.norm(A @ x - b))
         return GmresResult(x=x, res=res, steps=j, breakdown=brk, xs=xs)
 
     return core
