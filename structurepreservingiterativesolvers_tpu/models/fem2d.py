@@ -78,6 +78,17 @@ class SpaceP1:
         np.add.at(w, self.tri.ravel(), np.repeat(area / 3.0, 3))
         return w
 
+    def _project_rhs_solve(self, rhs: np.ndarray) -> np.ndarray:
+        import scipy.sparse.linalg as spla
+
+        Mh = self.mass()
+        dinv = 1.0 / Mh.diagonal()
+        u, info = spla.cg(
+            Mh, rhs, rtol=1e-14, maxiter=200,
+            M=spla.LinearOperator(Mh.shape, lambda v: dinv * v),
+        )
+        return spla.spsolve(Mh, rhs) if info != 0 else u
+
     def project(self, f: Callable[[np.ndarray, np.ndarray], np.ndarray]) -> np.ndarray:
         """L2 projection via edge-midpoint quadrature (exact to degree 2)."""
         import scipy.sparse.linalg as spla
@@ -97,15 +108,115 @@ class SpaceP1:
         rhs_loc = (area[:, None] / 3.0) * np.einsum("tm,am->ta", fm, phi_m)
         rhs = np.zeros(self.nv)
         np.add.at(rhs, self.tri.ravel(), rhs_loc.ravel())
-        # the P1 mass matrix is exceptionally well conditioned: Jacobi-CG
+        # the Pk mass matrix is exceptionally well conditioned: Jacobi-CG
         # reaches 1e-14 in ~30 iterations and beats a sparse LU by ~10× at
         # large n
-        Mh = self.mass()
-        dinv = 1.0 / Mh.diagonal()
-        u, info = spla.cg(
-            Mh, rhs, rtol=1e-14, maxiter=200,
-            M=spla.LinearOperator(Mh.shape, lambda v: dinv * v),
+        return self._project_rhs_solve(rhs)
+
+
+# degree-4 symmetric quadrature on the reference triangle (6 points)
+_QP_W = np.array([0.223381589678011] * 3 + [0.109951743655322] * 3)
+_QP_A = 0.445948490915965
+_QP_B = 0.091576213509771
+_QP_BARY = np.array(
+    [
+        [1 - 2 * _QP_A, _QP_A, _QP_A],
+        [_QP_A, 1 - 2 * _QP_A, _QP_A],
+        [_QP_A, _QP_A, 1 - 2 * _QP_A],
+        [1 - 2 * _QP_B, _QP_B, _QP_B],
+        [_QP_B, 1 - 2 * _QP_B, _QP_B],
+        [_QP_B, _QP_B, 1 - 2 * _QP_B],
+    ]
+)
+
+
+class SpaceP2(SpaceP1):
+    """P2 Lagrange space on the same structured triangulation: 3 vertex +
+    3 edge-midpoint dofs per triangle (reference heat accepts a degree
+    parameter, heat/heat.py:23-25; this provides degree 2)."""
+
+    def __init__(self, M: int, length: float = 1.0):
+        super().__init__(M, length)
+        # unique edges (sorted vertex pairs) → edge dof ids after vertices
+        e = np.concatenate(
+            [self.tri[:, [0, 1]], self.tri[:, [1, 2]], self.tri[:, [0, 2]]]
         )
-        if info != 0:
-            u = spla.spsolve(Mh, rhs)
-        return u
+        e.sort(axis=1)
+        uniq, inv = np.unique(e, axis=0, return_inverse=True)
+        nt = len(self.tri)
+        self.edge_of_tri = inv.reshape(3, nt).T  # local edges (01, 12, 02)
+        self.nedge = len(uniq)
+        self.edges = uniq
+        self.ndof = self.nv + self.nedge
+        # local dof order: v0 v1 v2, e01, e12, e02
+        self.loc = np.concatenate(
+            [self.tri, self.nv + self.edge_of_tri], axis=1
+        )  # (nt, 6)
+
+    @staticmethod
+    def _basis(bary: np.ndarray):
+        """P2 basis values and barycentric-gradient weights at barycentric
+        points; returns (vals (npts,6), dcoef (npts,6,3)) where the physical
+        gradient is Σ_c dcoef[...,c]·grad λ_c."""
+        l0, l1, l2 = bary[:, 0], bary[:, 1], bary[:, 2]
+        vals = np.stack(
+            [
+                l0 * (2 * l0 - 1), l1 * (2 * l1 - 1), l2 * (2 * l2 - 1),
+                4 * l0 * l1, 4 * l1 * l2, 4 * l0 * l2,
+            ],
+            axis=1,
+        )
+        z = np.zeros_like(l0)
+        dcoef = np.stack(
+            [
+                np.stack([4 * l0 - 1, z, z], axis=1),
+                np.stack([z, 4 * l1 - 1, z], axis=1),
+                np.stack([z, z, 4 * l2 - 1], axis=1),
+                np.stack([4 * l1, 4 * l0, z], axis=1),
+                np.stack([z, 4 * l2, 4 * l1], axis=1),
+                np.stack([4 * l2, z, 4 * l0], axis=1),
+            ],
+            axis=1,
+        )  # (npts, 6, 3)
+        return vals, dcoef
+
+    def _scatter6(self, blocks: np.ndarray) -> sp.csr_matrix:
+        rows = np.repeat(self.loc, 6, axis=1).ravel()
+        cols = np.tile(self.loc, (1, 6)).ravel()
+        return sp.csr_matrix(
+            (blocks.ravel(), (rows, cols)), shape=(self.ndof, self.ndof)
+        )
+
+    def mass(self) -> sp.csr_matrix:
+        area, _ = self._geometry()
+        vals, _ = self._basis(_QP_BARY)  # (nq, 6)
+        Me = np.einsum("q,qa,qb->ab", _QP_W, vals, vals)  # ∫ref scaled by |T|
+        return self._scatter6(area[:, None, None] * Me[None])
+
+    def stiffness(self) -> sp.csr_matrix:
+        area, gl = self._geometry()  # gl: (nt, 3, 2) grad λ
+        _, dcoef = self._basis(_QP_BARY)  # (nq, 6, 3)
+        # physical gradient of basis a at point q in triangle t:
+        # G[t,q,a,:] = Σ_c dcoef[q,a,c] gl[t,c,:]
+        G = np.einsum("qac,tcd->tqad", dcoef, gl)
+        Ke = np.einsum("q,tqad,tqbd,t->tab", _QP_W, G, G, area)
+        return self._scatter6(Ke)
+
+    def omega(self) -> np.ndarray:
+        area, _ = self._geometry()
+        vals, _ = self._basis(_QP_BARY)
+        elem = np.einsum("q,qa->a", _QP_W, vals)  # per unit area
+        w = np.zeros(self.ndof)
+        np.add.at(w, self.loc.ravel(), np.outer(area, elem).ravel())
+        return w
+
+    def project(self, f: Callable[[np.ndarray, np.ndarray], np.ndarray]) -> np.ndarray:
+        area, _ = self._geometry()
+        p = self.xy[self.tri]  # (nt, 3, 2)
+        pts = np.einsum("qc,tcd->tqd", _QP_BARY, p)  # (nt, nq, 2)
+        fx = f(pts[..., 0], pts[..., 1])  # (nt, nq)
+        vals, _ = self._basis(_QP_BARY)
+        rhs_loc = np.einsum("q,tq,qa,t->ta", _QP_W, fx, vals, area)
+        rhs = np.zeros(self.ndof)
+        np.add.at(rhs, self.loc.ravel(), rhs_loc.ravel())
+        return self._project_rhs_solve(rhs)

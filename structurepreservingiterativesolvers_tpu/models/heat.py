@@ -45,9 +45,13 @@ class Problem:
         return float(self.T) / self.N
 
     def fem(self) -> SpaceP1:
-        if self.degree != 1:
-            raise NotImplementedError("P1 only (reference default)")
-        return SpaceP1(self.M, 1.0)
+        if self.degree == 1:
+            return SpaceP1(self.M, 1.0)
+        if self.degree == 2:
+            from .fem2d import SpaceP2
+
+            return SpaceP2(self.M, 1.0)
+        raise NotImplementedError("degrees 1 and 2 supported")
 
     def ic(self, x, y):
         """1e3-scaled polynomial bump (heat/heat.py:30-32)."""

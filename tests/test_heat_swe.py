@@ -88,3 +88,35 @@ def test_swe_cgmres_terminates_with_safety(swe_sys):
     assert ci["steps"] < 15
     inv = s.compute_invariants(xc)
     assert abs(float(inv["energy"] - s.e0)) / abs(float(s.e0)) < 1e-13
+
+
+def test_heat_p2_structure():
+    """Degree-2 heat: mass conserved and dissipation identity enforced
+    (reference heat accepts a degree parameter, heat/heat.py:23-25)."""
+    s = heat.linforms(M=16, degree=2)
+    x = jnp.asarray(spla.spsolve(s.A_csr, np.asarray(s.b)))
+    inv = s.compute_invariants(x)
+    assert abs(float(inv["mass"] - s.m0)) < 1e-9
+    assert abs(float(inv["energy"])) < 1e-9
+    xc, ci = cgmres(s.A, s.b, k=40, tol=1e-8, constraints=s.constraints())
+    assert ci["safety"] is True
+    ic = s.compute_invariants(xc)
+    assert abs(float(ic["mass"] - s.m0)) < 1e-10
+
+
+def test_p2_convergence_beats_p1():
+    """P2 projection error of a smooth function converges faster than P1."""
+    from structurepreservingiterativesolvers_tpu.models.fem2d import (
+        SpaceP1,
+        SpaceP2,
+    )
+
+    f = lambda x, y: np.sin(2 * np.pi * x) * np.cos(np.pi * y)
+    errs = {}
+    for cls in (SpaceP1, SpaceP2):
+        sp_ = cls(16)
+        u = sp_.project(f)
+        # evaluate at vertices
+        ex = f(sp_.xy[:, 0], sp_.xy[:, 1])
+        errs[cls.__name__] = np.abs(u[: sp_.nv] - ex).max()
+    assert errs["SpaceP2"] < 0.2 * errs["SpaceP1"]
