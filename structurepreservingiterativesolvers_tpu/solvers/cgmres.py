@@ -310,7 +310,9 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
             "defaulted to standard solve. Problem likely overconstrained, a "
             "smaller solver tolerance may be required."
         )
-    if int(out.safety) == _SAFETY_BAD:
+    if int(out.safety) == _SAFETY_BAD and not prototypical:
+        # (the prototypical solver has no termination semantics tied to the
+        # latch — intermediate over-constrained iterations are expected)
         _warnings.warn(
             f"Constrained solve failed to preserve constraints "
             f"(deviation {float(out.deviation):.3e}); problem likely "

@@ -133,3 +133,15 @@ def test_general_constraint_matches_quadratic(hard):
     dg = np.abs(devs(sys_, xg))
     assert dg.max() < 1e-9
     np.testing.assert_allclose(np.asarray(xg), np.asarray(xq), rtol=1e-6, atol=1e-10)
+
+
+def test_lkdv_cg_space():
+    """CG (continuous) spatial discretisation end-to-end (reference lkdv
+    supports space='CG', lkdv/lkdv.py:27)."""
+    sys_ = lkdv.linforms(M=40, degree=2, space="CG")
+    x_dir = spla.spsolve(sys_.A_csr, np.asarray(sys_.b))
+    assert np.abs(devs(sys_, jnp.asarray(x_dir))).max() < 1e-10
+    x, info = cgmres(sys_.A, sys_.b, k=40, tol=1e-8,
+                     constraints=sys_.constraints())
+    assert info["safety"] is True
+    assert np.abs(devs(sys_, x)).max() < 1e-10
