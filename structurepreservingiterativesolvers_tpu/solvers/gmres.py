@@ -51,7 +51,7 @@ class GmresResult(NamedTuple):
 
 @lru_cache(maxsize=64)
 def _build_core(k: int, static_pre, history: bool, true_residual: bool,
-                ortho: str = "cgs2"):
+                ortho: str = "cgs2", loop: str = "while"):
     @jax.jit
     def core(A, b, x0, tol, pre_op) -> GmresResult:
         # static_pre: hashable callable closed over statically; pre_op: a
@@ -97,7 +97,29 @@ def _build_core(k: int, static_pre, history: bool, true_residual: bool,
             return (st, j + 1, x, res, done, brk | brk_now, xs)
 
         init = (st0, jnp.int32(0), x0, res0, beta < tol, jnp.bool_(False), xs0)
-        st, j, x, res, done, brk, xs = lax.while_loop(cond, body, init)
+        if loop == "while":
+            st, j, x, res, done, brk, xs = lax.while_loop(cond, body, init)
+        else:
+            # static-trip variant: always runs k iterations; the result
+            # snapshot (x, res, steps) freezes at first convergence while the
+            # Arnoldi factorisation keeps growing harmlessly (extra columns
+            # are masked out of every coefficient solve).  Dynamic-trip
+            # while_loops showed large per-iteration overhead on some TPU
+            # toolchains — this trades wasted-but-cheap iterations for a
+            # fully schedulable loop.
+            def fbody(jj, carry):
+                st, j, x, res, done, brk, xs = carry
+                st2, j2, x2, res2, done2, brk2, xs2 = body(
+                    (st, jj, x, res, done, brk, xs)
+                )
+                j_keep = jnp.where(done, j, j2)
+                x_keep = jnp.where(done, x, x2) if x is not None else x2
+                res_keep = jnp.where(done, res, res2)
+                xs_keep = (jnp.where(done, xs, xs2) if history else xs2)
+                return (st2, j_keep, x_keep, res_keep, done | done2,
+                        brk | (brk2 & ~done), xs_keep)
+
+            st, j, x, res, done, brk, xs = lax.fori_loop(0, k, fbody, init)
         if not true_residual and not history:
             y = lsq_coeffs(st, jnp.maximum(j - 1, 0))
             x = jnp.where(j > 0, y @ st.Z + x0, x0)
@@ -117,6 +139,7 @@ def gmres(
     history: bool = False,
     true_residual: bool = True,
     ortho: str = "cgs2",
+    loop: str = "while",
 ):
     """Solve ``A x = b`` with right-preconditioned flexible GMRES.
 
@@ -133,7 +156,7 @@ def gmres(
     else:
         static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
     core = _build_core(int(k), static_pre, bool(history), bool(true_residual),
-                       ortho)
+                       ortho, loop)
     out = core(A, b, x0, jnp.asarray(tol, b.dtype), pre_op)
 
     steps = int(out.steps)
