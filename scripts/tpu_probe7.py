@@ -80,7 +80,9 @@ def main():
         ("arnoldi fori", lambda: arnoldi_fori(A, b).block_until_ready()),
         ("arnoldi while", lambda: arnoldi_while(A, b).block_until_ready()),
         ("arnoldi while+est", lambda: arnoldi_while_lsq(A, b).block_until_ready()),
-        ("gmres full", lambda: gmres(A, b, k=k, tol=1e-50)[0].block_until_ready()),
+        ("gmres full(while)", lambda: gmres(A, b, k=k, tol=1e-50)[0].block_until_ready()),
+        ("gmres full(fori)", lambda: gmres(A, b, k=k, tol=1e-50, loop="fori")[0].block_until_ready()),
+        ("gmres est(fori)", lambda: gmres(A, b, k=k, tol=1e-50, loop="fori", true_residual=False)[0].block_until_ready()),
     ]:
         print(f"{label:20s} {med(fn)*1e3:9.2f} ms", flush=True)
 
