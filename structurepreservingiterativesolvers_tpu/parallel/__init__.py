@@ -7,4 +7,4 @@ from .mesh import (  # noqa: F401
     shard_system,
     shard_vector,
 )
-from .halo_spmv import dia_spmv_halo  # noqa: F401
+from .halo_spmv import HaloDia, dia_spmv_halo  # noqa: F401

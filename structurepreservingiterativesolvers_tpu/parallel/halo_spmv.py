@@ -26,6 +26,37 @@ from ..ops.sparse import DIA
 from .mesh import ROWS
 
 
+import dataclasses
+
+from ..ops.sparse import _register
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class HaloDia:
+    """A row-sharded DIA operator whose SpMV uses the explicit ring-halo
+    schedule — drop-in ``A`` for the solvers (supports ``A @ x``)."""
+
+    A: DIA
+    mesh: Mesh  # static
+
+    _static = ("mesh",)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def offsets(self):
+        return self.A.offsets
+
+    def __matmul__(self, x):
+        if x.ndim == 1:
+            return dia_spmv_halo(self.A, x, self.mesh)
+        # tall-dense SpMM falls back to the GSPMD path
+        return self.A @ x
+
+
 def dia_spmv_halo(A: DIA, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """y = A @ x with row-partitioned data/x and ring halo exchange.
 

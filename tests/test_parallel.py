@@ -114,3 +114,25 @@ def test_fused_evolve_sharded(mesh):
     assert list(ref["steps"]) == list(sh["steps"])
     np.testing.assert_allclose(sh["de"], ref["de"], atol=1e-10)
     assert np.all(sh["safety"] == 1)
+
+
+def test_gmres_with_halo_operator(mesh):
+    """The explicit ring-halo operator is a drop-in A for the solvers."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from structurepreservingiterativesolvers_tpu.ops import dia_from_scipy
+    from structurepreservingiterativesolvers_tpu.parallel import (
+        HaloDia,
+        shard_matrix,
+    )
+
+    n = 256
+    Ah = sp.csr_matrix(
+        sp.diags([-1.0, 4.0, -1.0], [-1, 0, 1], shape=(n, n))
+    )
+    b = np.random.default_rng(2).standard_normal(n)
+    A_halo = HaloDia(shard_matrix(dia_from_scipy(Ah), mesh), mesh)
+    b_sh = shard_vector(jnp.asarray(b), mesh)
+    x, info = gmres(A_halo, b_sh, k=80, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(x), spla.spsolve(Ah, b), rtol=1e-7)
