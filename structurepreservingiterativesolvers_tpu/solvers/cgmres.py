@@ -78,7 +78,7 @@ class CgmresResult(NamedTuple):
 @lru_cache(maxsize=64)
 def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 mixed: bool = False, kinds: tuple = (), ortho: str = "cgs2",
-                true_residual: bool = True):
+                true_residual: bool = True, loop: str = "while"):
     # kinds[i] ∈ {'q','g'}: quadratic constraints use the incremental
     # reduction; general (callable) ones get a per-iteration autodiff Taylor
     # model (constraints/general.py).  Empty kinds ⇒ all quadratic.
@@ -133,6 +133,10 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 gate = ~((r_prev > contol * tol) & (j < k - 1)
                          & (safety == _SAFETY_NONE))
                 con_mask = jnp.ones((m,), cdtype)
+            if loop == "fori":
+                # static-trip mode: after the (frozen) result converged, the
+                # remaining iterations take the cheap unconstrained path
+                gate = gate & ~done
 
             # --- constraint reduction bookkeeping (quadratic only) --------
             def catchup(bs):
@@ -246,8 +250,26 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             jnp.bool_(False), jnp.bool_(False), jnp.asarray(jnp.inf, dt),
             jnp.int32(0), jnp.int32(0), xs0,
         )
-        (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
-         kkt_it, nfb, xs) = lax.while_loop(cond, body, init)
+        if loop == "while":
+            (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
+             kkt_it, nfb, xs) = lax.while_loop(cond, body, init)
+        else:
+            # static-trip variant (see gmres.py): k iterations always run;
+            # result fields freeze at first convergence, the Arnoldi state
+            # keeps growing harmlessly and post-done iterations skip the
+            # constrained endgame via the gate override above
+            def fbody(jj, carry):
+                old = carry
+                done_prev = old[10]
+                new = body(old[:1] + (jj,) + old[2:])
+                frozen = jax.tree_util.tree_map(
+                    lambda o, nw: jnp.where(done_prev, o, nw),
+                    old[1:], new[1:],
+                )
+                return (new[0],) + tuple(frozen)
+
+            (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk,
+             dev, kkt_it, nfb, xs) = lax.fori_loop(0, k, fbody, init)
         if not true_residual:
             # yk holds the last constrained coefficients; if the loop never
             # entered the constrained phase (breakdown), fall back to the LSQ
@@ -268,7 +290,8 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
 
 def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
-         prototypical, name, mixed=None, ortho="cgs2", true_residual=True):
+         prototypical, name, mixed=None, ortho="cgs2", true_residual=True,
+         loop="while"):
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
     cons = tuple(constraints)
@@ -285,7 +308,7 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
     )
     core = _build_core(int(k), len(cons), static_pre, bool(history),
                        prototypical, bool(mixed), kinds, ortho,
-                       bool(true_residual))
+                       bool(true_residual), loop)
 
     t0 = time()
     out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),
@@ -365,6 +388,7 @@ def cgmres(
     mixed: bool = None,
     ortho: str = "cgs2",
     true_residual: bool = True,
+    loop: str = "while",
 ):
     """Constraint-satisfying FGMRES; returns ``(x, info)``.
 
@@ -375,7 +399,7 @@ def cgmres(
     """
     return _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history,
                 timing, prototypical=False, name="cgmres", mixed=mixed,
-                ortho=ortho, true_residual=true_residual)
+                ortho=ortho, true_residual=true_residual, loop=loop)
 
 
 def cgmres_p(
