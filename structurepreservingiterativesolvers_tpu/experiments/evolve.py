@@ -145,6 +145,7 @@ def fused_evolve(
     pre=None,
     warm_start: bool = True,
     mesh=None,
+    loop: str = "while",
     **params,
 ):
     """Whole time evolution as ONE jitted ``lax.scan``: per step the system is
@@ -193,7 +194,7 @@ def fused_evolve(
 
     mixed = dt == jnp.float32 and jax.config.jax_enable_x64
     core = _build_core(int(k), len(cons0), static_pre, False, False, mixed,
-                       ("q",) * len(cons0))
+                       ("q",) * len(cons0), "cgs2", True, loop)
 
     tol_ = jnp.asarray(tol, dt)
     contol_ = jnp.asarray(contol, dt)
