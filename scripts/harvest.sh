@@ -7,7 +7,7 @@ mkdir -p $OUT
 cd /root/repo
 
 health() {
-  timeout 100 python -c "
+  timeout -k 10 100 python -c "
 import jax, jax.numpy as jnp
 print(float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0]))
 " >/dev/null 2>&1
@@ -17,7 +17,7 @@ run_probe() {  # name, script
   local name=$1 script=$2
   if [ -s "$OUT/$name.txt" ]; then return 0; fi
   echo "$(date +%H:%M:%S) running $name" >> $OUT/log
-  timeout 580 python "$script" > "$OUT/$name.raw" 2>&1
+  timeout -k 10 580 python "$script" > "$OUT/$name.raw" 2>&1
   grep -aE "ms|GNNZ|err|OK" "$OUT/$name.raw" | grep -av WARN > "$OUT/$name.tmp"
   if [ -s "$OUT/$name.tmp" ]; then mv "$OUT/$name.tmp" "$OUT/$name.txt"; fi
 }
