@@ -2,8 +2,10 @@
 
 Capability parity with the reference's hand-rolled ``gmres`` (reference
 ``solvers.py:58-127``): right preconditioning with the flexible Z-basis
-reconstruction, modified-Gram-Schmidt Arnoldi, per-iteration true residual
-‖Ax−b‖, breakdown detection, and the same ``(x, info)`` output contract.
+reconstruction, Gram-Schmidt Arnoldi (CGS2 default — two batched matvec
+passes with MGS-level orthogonality; ``ortho='mgs'`` for the reference's
+sequential recurrence), per-iteration true residual ‖Ax−b‖, breakdown
+detection, and the same ``(x, info)`` output contract.
 
 TPU-first differences (by design, not omission):
 
