@@ -89,3 +89,39 @@ def test_overconstrained_fallback_in_cgmres():
     # solve trips it to False — either way never True, and no early exit
     assert info["safety"] is not True
     assert info["steps"] == 12  # refused to terminate early
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_feasible_constraints(seed):
+    """Property test: random well-conditioned system + random quadratic
+    constraints constructed to be satisfied by the true solution must be
+    certified by CGMRES at machine level."""
+    rng = np.random.default_rng(seed)
+    n = 120
+    A = sp.csr_matrix(
+        sp.diags([-1.0, 4.0 + 0.1 * seed, -1.0], [-1, 0, 1], shape=(n, n))
+    )
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+
+    from structurepreservingiterativesolvers_tpu.ops import dia_from_scipy
+
+    cons = []
+    for i in range(2):
+        Mq = sp.csr_matrix(
+            sp.diags(rng.standard_normal(n))  # symmetric (diagonal) quadratic
+        )
+        v = rng.standard_normal(n)
+        c = -(0.5 * x_true @ (Mq @ x_true) + v @ x_true)
+        cons.append(
+            QuadraticConstraint(
+                M=dia_from_scipy(Mq), v=jnp.asarray(v), c=jnp.asarray(c),
+                name=f"rand{i}",
+            )
+        )
+    x, info = cgmres(dia_from_scipy(A), jnp.asarray(b), k=60, tol=1e-10,
+                     constraints=cons)
+    assert info["safety"] is True
+    for con in cons:
+        assert abs(float(con(x))) < 1e-9
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)
