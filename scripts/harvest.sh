@@ -23,13 +23,13 @@ run_probe() {  # name, script
 }
 
 for attempt in $(seq 1 60); do
-  if [ -s $OUT/probe7.txt ] && [ -s $OUT/probe2.txt ]; then
+  if [ -s $OUT/probe8.txt ] && [ -s $OUT/probe2.txt ]; then
     echo "$(date +%H:%M:%S) all collected" >> $OUT/log
     exit 0
   fi
   if health; then
     echo "$(date +%H:%M:%S) healthy" >> $OUT/log
-    run_probe probe7 scripts/tpu_probe7.py
+    run_probe probe8 scripts/tpu_probe8.py
     if health; then run_probe probe2 scripts/tpu_probe2.py; fi
   else
     echo "$(date +%H:%M:%S) unhealthy" >> $OUT/log
