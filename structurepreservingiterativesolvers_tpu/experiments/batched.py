@@ -92,9 +92,12 @@ def cgmres_many(
         in_axes=(0, 0, cons_axes),
     )
     out = vm(Bs, X0s, cons)
+    steps_h, dev_h, safety_h, res_h = jax.device_get(
+        (out.steps, out.deviation, out.safety, out.res)
+    )  # one batched fetch (each np.asarray is its own tunnel round trip)
     return out.x, {
-        "steps": np.asarray(out.steps),
-        "deviation": np.asarray(out.deviation),
-        "safety": np.asarray(out.safety),
-        "res": np.asarray(out.res),
+        "steps": steps_h,
+        "deviation": dev_h,
+        "safety": safety_h,
+        "res": res_h,
     }

@@ -196,9 +196,11 @@ def fused_evolve(
     core = _build_core(int(k), len(cons0), static_pre, False, False, mixed,
                        ("q",) * len(cons0), "cgs2", True, loop)
 
-    tol_ = jnp.asarray(tol, dt)
-    contol_ = jnp.asarray(contol, dt)
-    ctol_ = jnp.asarray(ctol, dt)
+    from ..solvers.hostio import dscalar
+
+    tol_ = dscalar(tol, dt)
+    contol_ = dscalar(contol, dt)
+    ctol_ = dscalar(ctol, dt)
 
     def step(z_prev, _):
         sys_t = sys0.step_update(z_prev)
@@ -221,7 +223,7 @@ def fused_evolve(
         return lax.scan(step, z, None, length=N)
 
     z_final, metrics = run(z_init)
-    metrics = jax.tree_util.tree_map(np.asarray, metrics)
+    metrics = jax.device_get(metrics)  # one batched fetch, not one per leaf
 
     T = float(getattr(sys0.prob, "T", 1.0))
     out = {

@@ -21,6 +21,7 @@ from ..precond.base import (
     as_preconditioner,
     is_operand_preconditioner,
 )
+from .hostio import dscalar
 
 
 class CgResult(NamedTuple):
@@ -38,6 +39,8 @@ def _build_core(k: int, static_pre):
                 return static_pre(v)
             return apply_preconditioner(pre_op, v)
 
+        if x0 is None:  # resolved in-program: avoids a per-call host put
+            x0 = jnp.zeros_like(b)
         r0 = b - A @ x0
         z0 = prefunc(r0)
         res0 = jnp.full((k,), jnp.inf, b.dtype)
@@ -72,16 +75,18 @@ def _build_core(k: int, static_pre):
 def cg(A, b, x0=None, k: int = 100, tol: float = 1e-8, pre=None):
     """Solve SPD ``A x = b``; returns (x, info) on the common contract."""
     b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
     if is_operand_preconditioner(pre):
         static_pre, pre_op = None, pre
     else:
         static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
     core = _build_core(int(k), static_pre)
-    out = core(A, b, x0, jnp.asarray(tol, b.dtype), pre_op)
+    out = core(A, b, x0, dscalar(tol, b.dtype), pre_op)
+    res_h, steps_h = jax.device_get((out.res, out.steps))  # one batched fetch
     info = {
         "name": "cg",
-        "res": np.asarray(out.res[:1]),
-        "steps": int(out.steps),
+        "res": res_h[:1],
+        "steps": int(steps_h),
     }
     return out.x, info

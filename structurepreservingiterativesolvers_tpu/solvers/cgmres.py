@@ -57,6 +57,7 @@ from .arnoldi import (
     lsq_coeffs,
     lsq_residual_estimate,
 )
+from .hostio import dscalar
 from .kkt import constrained_lsq
 
 _SAFETY_NONE, _SAFETY_OK, _SAFETY_BAD = 0, 1, 2
@@ -96,6 +97,10 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         # mixed precision: on f32 hardware the constraint reduction and KKT
         # endgame run in f64 (tiny, emulated) while SpMV/Arnoldi stay f32
         cdtype = jnp.dtype("float64") if mixed else dt
+        # x0=None resolved in-program (a host-side zeros_like is a per-call
+        # host→device put, ~34 ms through the tunnel — scripts/tpu_probe9.py)
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
         r0 = b - A @ x0
         beta = jnp.linalg.norm(r0)
         st0 = init_state(r0, beta, k)
@@ -293,7 +298,8 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
          prototypical, name, mixed=None, ortho="cgs2", true_residual=True,
          loop="while"):
     b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
     cons = tuple(constraints)
     if mixed is None:
         # default: promote the constraint/KKT path to f64 when the storage
@@ -311,50 +317,54 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
                        bool(true_residual), loop)
 
     t0 = time()
-    out = core(A, b, x0, cons, jnp.asarray(tol, b.dtype),
-               jnp.asarray(contol, b.dtype), jnp.asarray(ctol, b.dtype), pre_op)
-    out = jax.block_until_ready(out)
+    out = core(A, b, x0, cons, dscalar(tol, b.dtype), dscalar(contol, b.dtype),
+               dscalar(ctol, b.dtype), pre_op)
+    # one batched device→host fetch for every scalar/vector the info dict
+    # needs (each separate int()/float()/np.asarray() is its own ~30-55 ms
+    # RPC through the axon tunnel — scripts/tpu_probe9.py); x stays on device
+    host = jax.device_get(out._replace(x=None, xs=out.xs if history else None))
+    jax.block_until_ready(out.x)
     wall = time() - t0
 
-    steps = int(out.steps)
-    ncon = int(out.constrained_steps)
+    steps = int(host.steps)
+    ncon = int(host.constrained_steps)
     # host-side warnings mirroring the reference's UX (solvers.py:104-106,
     # 267-273); the device loop records the conditions, we report them
     import warnings as _warnings
 
-    if bool(out.breakdown):
+    if bool(host.breakdown):
         _warnings.warn(
             "GMRES broke down, either initial guess is exact or, more "
             "likely, something has gone wrong."
         )
-    if int(out.fallbacks) > 0:
+    if int(host.fallbacks) > 0:
         _warnings.warn(
-            f"Constrained solve failed on {int(out.fallbacks)} iteration(s), "
+            f"Constrained solve failed on {int(host.fallbacks)} iteration(s), "
             "defaulted to standard solve. Problem likely overconstrained, a "
             "smaller solver tolerance may be required."
         )
-    if int(out.safety) == _SAFETY_BAD and not prototypical:
+    if int(host.safety) == _SAFETY_BAD and not prototypical:
         # (the prototypical solver has no termination semantics tied to the
         # latch — intermediate over-constrained iterations are expected)
         _warnings.warn(
             f"Constrained solve failed to preserve constraints "
-            f"(deviation {float(out.deviation):.3e}); problem likely "
+            f"(deviation {float(host.deviation):.3e}); problem likely "
             "overconstrained — a smaller solver tolerance may be required.",
             RuntimeWarning,
         )
     info = {
         "name": name,
-        "res": np.asarray(out.res[:steps]),
+        "res": host.res[:steps],
         "steps": steps,
         "constrained_steps": ncon,
-        "safety": {0: None, 1: True, 2: False}[int(out.safety)],
-        "deviation": float(out.deviation),
-        "breakdown": bool(out.breakdown),
-        "kkt_iters": int(out.kkt_iters),
-        "fallbacks": int(out.fallbacks),
+        "safety": {0: None, 1: True, 2: False}[int(host.safety)],
+        "deviation": float(host.deviation),
+        "breakdown": bool(host.breakdown),
+        "kkt_iters": int(host.kkt_iters),
+        "fallbacks": int(host.fallbacks),
     }
     if history:
-        info["x"] = np.asarray(out.xs[: steps + 1])
+        info["x"] = host.xs[: steps + 1]
     if timing:
         # The loop is one fused device program, so per-phase host timestamps
         # (reference solvers.py:140-146) don't exist; constraint building is

@@ -41,6 +41,7 @@ from .arnoldi import (
     lsq_coeffs,
     lsq_residual_estimate,
 )
+from .hostio import dscalar
 
 
 class GmresResult(NamedTuple):
@@ -64,6 +65,11 @@ def _build_core(k: int, static_pre, history: bool, true_residual: bool,
                 return static_pre(v)
             return apply_preconditioner(pre_op, v)
         n = b.shape[0]
+        # x0=None is resolved *inside* the jitted program: a host-side
+        # zeros_like would be a per-call host→device put (~34 ms through the
+        # axon tunnel, scripts/tpu_probe9.py); in-program it is free.
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
         r0 = b - A @ x0
         beta = jnp.linalg.norm(r0)
         st0 = init_state(r0, beta, k)
@@ -152,22 +158,28 @@ def gmres(
     initial residual vector.
     """
     b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
     if is_operand_preconditioner(pre):
         static_pre, pre_op = None, pre
     else:
         static_pre, pre_op = (as_preconditioner(pre) if pre is not None else None), None
     core = _build_core(int(k), static_pre, bool(history), bool(true_residual),
                        ortho, loop)
-    out = core(A, b, x0, jnp.asarray(tol, b.dtype), pre_op)
+    out = core(A, b, x0, dscalar(tol, b.dtype), pre_op)
 
-    steps = int(out.steps)
+    # single batched fetch for everything the info dict needs (each separate
+    # int()/np.asarray() is its own device→host round trip through the tunnel)
+    steps_h, res_h, brk_h, xs_h = jax.device_get(
+        (out.steps, out.res, out.breakdown, out.xs if history else None)
+    )
+    steps = int(steps_h)
     info = {
         "name": "gmres",
-        "res": np.asarray(out.res[:steps]),
+        "res": res_h[:steps],
         "steps": steps,
-        "breakdown": bool(out.breakdown),
+        "breakdown": bool(brk_h),
     }
     if history:
-        info["x"] = np.asarray(out.xs[: steps + 1])
+        info["x"] = xs_h[: steps + 1]
     return out.x, info
