@@ -34,6 +34,7 @@ class ArnoldiState(NamedTuple):
     Z: jnp.ndarray
     H: jnp.ndarray
     R: jnp.ndarray
+    Rinv: jnp.ndarray
     cs: jnp.ndarray
     sn: jnp.ndarray
     g: jnp.ndarray
@@ -48,6 +49,7 @@ def init_state(r0: jnp.ndarray, beta: jnp.ndarray, k: int) -> ArnoldiState:
         Z=jnp.zeros((k, n), dt),
         H=jnp.zeros((k + 1, k), dt),
         R=jnp.zeros((k, k), dt),
+        Rinv=jnp.zeros((k, k), dt),
         cs=jnp.zeros(k, dt),
         sn=jnp.zeros(k, dt),
         g=jnp.zeros(k + 1, dt).at[0].set(beta),
@@ -132,8 +134,20 @@ def _givens_update(st: ArnoldiState, hcol: jnp.ndarray, j: jnp.ndarray) -> Arnol
     gj = g[j]
     g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
     k = st.R.shape[0]
+    # incremental explicit inverse of the triangular factor: appending
+    # column j to R extends R⁻¹ by one column at the cost of one masked
+    # multiply+reduce — so coefficient solves (lsq_coeffs) are a single
+    # matvec instead of a k-step sequential back-substitution per iteration
+    # (the sequential loop's tiny dependent ops dominate on TPU).
+    idx = jnp.arange(k)
+    tiny = jnp.finfo(st.R.dtype).tiny
+    rjj = jnp.where(denom == 0, tiny, denom)
+    upper = jnp.where(idx < j, h[:k], 0.0)
+    newcol = -jnp.sum(st.Rinv * upper[None, :], axis=1) / rjj
+    newcol = jnp.where(idx == j, 1.0 / rjj, newcol)
     return st._replace(
         R=st.R.at[:, j].set(h[:k]),
+        Rinv=st.Rinv.at[:, j].set(newcol),
         cs=st.cs.at[j].set(c),
         sn=st.sn.at[j].set(s),
         g=g,
@@ -143,28 +157,16 @@ def _givens_update(st: ArnoldiState, hcol: jnp.ndarray, j: jnp.ndarray) -> Arnol
 def lsq_coeffs(st: ArnoldiState, j: jnp.ndarray) -> jnp.ndarray:
     """Least-squares coefficients y (k,) with y[j+1:] = 0.
 
-    Solves min ‖β e1 − H[:, :j+1] y‖ through the Givens QR: a masked
-    triangular solve on fixed shapes (inactive diagonal set to 1, inactive
-    rhs to 0, so the padded solve is exact).  Replaces the reference's
-    np.linalg.lstsq (solvers.py:113).
+    Solves min ‖β e1 − H[:, :j+1] y‖ through the Givens QR as one masked
+    matvec with the incrementally-maintained R⁻¹ (see ``_givens_update``).
+    The leading principal blocks of a triangular inverse are the inverses of
+    the leading blocks, and R⁻¹ is upper triangular, so masking the rotated
+    rhs to the active prefix yields exactly the prefix solution with zeros
+    beyond it.  Replaces the reference's np.linalg.lstsq (solvers.py:113).
     """
     k = st.R.shape[0]
-    active = jnp.arange(k) <= j
-    tiny = jnp.finfo(st.R.dtype).tiny
-    diag = st.R.diagonal()
-    diag = jnp.where(jnp.abs(diag) < tiny, tiny, diag)  # breakdown guard
-    R = jnp.where(jnp.eye(k, dtype=bool), jnp.where(active, diag, 1.0), st.R)
-    R = jnp.where(active[None, :] & active[:, None] | jnp.eye(k, dtype=bool), R, 0.0)
-    rhs = jnp.where(active, st.g[:k], 0.0)
-
-    # explicit masked back-substitution: XLA:TPU's TriangularSolve takes a
-    # slow generic path for tiny systems, and this stays dtype-generic
-    def body(i_rev, y):
-        i = k - 1 - i_rev
-        yi = (rhs[i] - jnp.dot(R[i], y)) / R[i, i]
-        return y.at[i].set(jnp.where(active[i], yi, 0.0))
-
-    return lax.fori_loop(0, k, body, jnp.zeros(k, st.R.dtype))
+    rhs = jnp.where(jnp.arange(k) <= j, st.g[:k], 0.0)
+    return jnp.sum(st.Rinv * rhs[None, :], axis=1)
 
 
 def lsq_residual_estimate(st: ArnoldiState, j: jnp.ndarray) -> jnp.ndarray:

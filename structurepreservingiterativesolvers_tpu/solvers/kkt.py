@@ -51,32 +51,50 @@ def _constraint_eval(bufs, y, con_mask):
 
 
 def solve_dense(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Gaussian elimination with partial pivoting, in pure elementwise jnp
-    ops.  XLA:TPU implements LuDecomposition only for f32, but the KKT system
-    must be solved in f64 on f32 hardware (mixed mode) — this routine works
-    in any dtype (the matrices are ≤ (k+m)² ≈ 53², so cost is irrelevant)."""
+    """Gauss–Jordan elimination with partial pivoting, in pure dense jnp ops.
+
+    XLA:TPU implements LuDecomposition only for f32, but the KKT system must
+    be solved in f64 on f32 hardware (mixed mode) — this routine works in any
+    dtype.  TPU shaping: every row/column access goes through one-hot
+    matvecs/outer products on static shapes — a dynamic slice with a traced
+    index takes the unaligned slow path on TPU (~20×, see ops/pallas_spmv.py
+    notes) and a fori body pays it every step.  Gauss–Jordan (eliminate the
+    pivot column from *all* other rows) removes the separate back-substitution
+    loop, halving the sequential depth to n steps.
+    """
     n = K.shape[0]
+    dt = K.dtype
     M = jnp.concatenate([K, rhs[:, None]], axis=1)
+    idx = jnp.arange(n)
+    idx_aug = jnp.arange(n + 1)
+    tiny = jnp.finfo(dt).tiny
 
-    def elim(col, M):
-        piv = jnp.argmax(jnp.where(jnp.arange(n) >= col,
-                                   jnp.abs(M[:, col]), -1.0))
-        # swap rows col <-> piv
-        row_c, row_p = M[col], M[piv]
-        M = M.at[col].set(row_p).at[piv].set(row_c)
-        pivval = M[col, col]
-        pivval = jnp.where(pivval == 0, jnp.finfo(M.dtype).tiny, pivval)
-        factors = jnp.where(jnp.arange(n) > col, M[:, col] / pivval, 0.0)
-        return M - factors[:, None] * M[col][None, :]
+    # all row/column selections are masked multiply+reduce on static shapes —
+    # dynamic slices take the unaligned TPU slow path, and tiny f64 matmuls
+    # are emulated (multi-pass) on f32 MXU hardware; VPU reductions are cheap
+    def step(col, carry):
+        M, used, P = carry
+        colmask = (idx_aug == col).astype(dt)           # one-hot column (n+1,)
+        colvec = jnp.sum(M * colmask[None, :], axis=1)  # M[:, col]
+        piv = jnp.argmax(jnp.where(used, -1.0, jnp.abs(colvec)))
+        e_piv = (idx == piv).astype(dt)                 # one-hot row (n,)
+        pivrow = jnp.sum(M * e_piv[:, None], axis=0)    # M[piv]
+        pivval = jnp.sum(colvec * e_piv)
+        pivval = jnp.where(pivval == 0, tiny, pivval)
+        factors = jnp.where(idx == piv, 0.0, colvec / pivval)
+        M = M - factors[:, None] * pivrow[None, :]
+        P = P + colmask[:n, None] * e_piv[None, :]
+        return M, used | (idx == piv), P
 
-    M = lax.fori_loop(0, n, elim, M)
-
-    def back(i_rev, x):
-        i = n - 1 - i_rev
-        xi = (M[i, n] - jnp.dot(M[i, :n], x)) / M[i, i]
-        return x.at[i].set(xi)
-
-    return lax.fori_loop(0, n, back, jnp.zeros(n, K.dtype))
+    M, _, P = lax.fori_loop(
+        0, n, step, (M, jnp.zeros(n, bool), jnp.zeros((n, n), dt))
+    )
+    # P[c] is one-hot for the pivot row of column c; after full elimination
+    # that row is pivval·e_c (plus the transformed rhs), so x = rhs' / diag.
+    xcol = jnp.sum(P * M[:, n][None, :], axis=1)    # transformed rhs at p(c)
+    diag = jnp.sum(P * M[:, :n].T, axis=1)          # pivot values M[p(c), c]
+    diag = jnp.where(diag == 0, tiny, diag)
+    return xcol / diag
 
 
 def constrained_lsq(
@@ -119,13 +137,14 @@ def constrained_lsq(
         return K, rhs
 
     def body(carry):
-        y, lam, _, it = carry
+        y, lam, rnorm, it, _ = carry
         K, rhs = newton_system(y, lam)
         step = solve_dense(K, rhs)
         dy, dlam = step[:k] * act, step[k:] * con_mask
 
-        r_now, _, _ = kkt_residual(y, lam)
-        phi0 = jnp.dot(r_now, r_now)
+        # ‖r(y,λ)‖ is carried from the accepted line-search trial of the
+        # previous iteration — no recomputation per Newton step
+        phi0 = rnorm * rnorm
 
         def try_alpha(carry2):
             alpha, _, _ = carry2
@@ -145,26 +164,32 @@ def constrained_lsq(
             return try_alpha((alpha * 0.5, False, phi0))
 
         alpha0, ok0, phi_n = try_alpha((jnp.asarray(1.0, dt), False, phi0))
-        alpha, ok, _ = lax.while_loop(bt_cond, bt_body, (alpha0, ok0, phi_n))
+        alpha, ok, phi_acc = lax.while_loop(
+            bt_cond, bt_body, (alpha0, ok0, phi_n))
         # take the (possibly tiny) step even if no decrease was found —
         # matches SLSQP's behaviour of returning its last iterate
         y = y + alpha * dy
         lam = lam + alpha * dlam
-        r_new, _, _ = kkt_residual(y, lam)
-        return y, lam, jnp.linalg.norm(r_new), it + 1
+        # stagnation: essentially no decrease of ‖r‖² means the iteration is
+        # at its attainable floor (or the constraints are infeasible at this
+        # Krylov dimension) — further Newton steps are pure waste.  SLSQP
+        # similarly gives up via its ftol exit (reference solvers.py:234-235).
+        stalled = phi_acc > 0.995 * phi0
+        return y, lam, jnp.sqrt(phi_acc), it + 1, stalled
 
     # relative threshold: the KKT residual scales with the objective gradient
     thresh = kkt_tol * (1.0 + jnp.linalg.norm(bf))
 
     def cond(carry):
-        _, _, rnorm, it = carry
-        return (rnorm > thresh) & (it < maxiter)
+        _, _, rnorm, it, stalled = carry
+        return (rnorm > thresh) & (it < maxiter) & ~stalled
 
     y0 = y0 * act
     lam0 = jnp.zeros(m, dt)
     r0, _, _ = kkt_residual(y0, lam0)
-    y, lam, rnorm, iters = lax.while_loop(
-        cond, body, (y0, lam0, jnp.linalg.norm(r0), jnp.int32(0))
+    y, lam, rnorm, iters, _ = lax.while_loop(
+        cond, body,
+        (y0, lam0, jnp.linalg.norm(r0), jnp.int32(0), jnp.bool_(False)),
     )
     g, _ = _constraint_eval(bufs, y, con_mask)
     scales = jnp.stack([reduced_scale(b, y) for b in bufs]) * con_mask
