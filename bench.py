@@ -28,6 +28,21 @@ def _median_time(fn, reps=10, warmup=3):
     return float(np.median(ts))
 
 
+def _chained_time(make_chain, reps_inner, reps_outer=5):
+    """Median per-op time of ``reps_inner`` *dependent* ops inside ONE
+    compiled program.  Repeated identical dispatches of a single program are
+    cached/elided somewhere in the axon tunnel stack (scripts/tpu_probe13.py),
+    so only chained in-program measurements reflect real device time."""
+    chain = make_chain(reps_inner)
+    chain()  # compile
+    ts = []
+    for _ in range(reps_outer):
+        t0 = time.perf_counter()
+        chain()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / reps_inner
+
+
 def _backend_healthy(timeout_s: float = 150.0) -> bool:
     """Probe the default backend in a subprocess — the axon TPU tunnel can
     wedge so hard that even a tiny matmul hangs; in that case bench falls
@@ -67,9 +82,16 @@ def main():
     nnz = sys_.A_csr.nnz
     x = jnp.asarray(np.random.default_rng(0).standard_normal(b.shape[0]), b.dtype)
 
-    spmv = jax.jit(lambda A, x: A @ x)
-    spmv(A, x).block_until_ready()
-    t_dev = _median_time(lambda: spmv(A, x).block_until_ready())
+    from jax import lax
+
+    def make_spmv_chain(reps):
+        @jax.jit
+        def chain(x):
+            # dependent SpMVs: each feeds the next, so nothing can be elided
+            return lax.fori_loop(0, reps, lambda i, v: A @ (v / (i + 1.0)), x)
+        return lambda: chain(x).block_until_ready()
+
+    t_dev = _chained_time(make_spmv_chain, reps_inner=100 if on_accel else 20)
     dev_nnz_s = nnz / t_dev
 
     # host baseline: scipy CSR (the reference's SpMV engine)
@@ -85,14 +107,36 @@ def main():
     from structurepreservingiterativesolvers_tpu import precond
 
     s2 = heat.linforms(M=256 if on_accel else 128, N=100)
-    cons = s2.constraints()
+    cons = tuple(s2.constraints())
     pre = precond.chebyshev(s2.A, degree=8)
     xg, gi = gmres(s2.A, s2.b, k=40, tol=1e-6, pre=pre)
-    t_cg = _median_time(
-        lambda: cgmres(s2.A, s2.b, k=40, tol=1e-6, constraints=cons,
-                       pre=pre)[0].block_until_ready(),
-        reps=3, warmup=1,
+
+    # chained TTS: REPS dependent full solves inside one program (per-solve
+    # steady-state device time, free of per-dispatch RPC/caching artifacts)
+    from structurepreservingiterativesolvers_tpu.solvers.cgmres import (
+        _build_core as _cg_core,
     )
+    from structurepreservingiterativesolvers_tpu.solvers.hostio import dscalar
+
+    dt2 = s2.b.dtype
+    core = _cg_core(40, len(cons), None, False, False, dt2 == jnp.float32,
+                    ("q",) * len(cons), "cgs2", True, "while")
+    tol_d = dscalar(1e-6, dt2)
+    contol_d = dscalar(10.0, dt2)
+    ctol_d = dscalar(1e-12, dt2)
+
+    def make_cg_chain(reps):
+        @jax.jit
+        def chain(b2):
+            def body(i, acc):
+                out = core(s2.A, b2 * (1.0 + 1e-12 * acc[0]), None, cons,
+                           tol_d, contol_d, ctol_d, pre)
+                return out.x.astype(b2.dtype)
+            return lax.fori_loop(0, reps, body, jnp.zeros_like(b2))
+        return lambda: chain(s2.b).block_until_ready()
+
+    t_cg = _chained_time(make_cg_chain, reps_inner=5 if on_accel else 2,
+                         reps_outer=3)
     xc, ci = cgmres(s2.A, s2.b, k=40, tol=1e-6, constraints=cons, pre=pre)
     ig, ic = s2.compute_invariants(xg), s2.compute_invariants(xc)
     gain_mass = abs(float(ig["mass"] - s2.m0)) / max(abs(float(ic["mass"] - s2.m0)), 1e-16)

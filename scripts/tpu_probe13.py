@@ -115,6 +115,73 @@ def main2():
     print(f"cgmres wrapper pre fast  {t*1e3:9.2f} ms", flush=True)
 
 
+# appended: chained-core timings — repeated identical dispatches of one
+# program are cached/elided somewhere in the tunnel stack (0.08 ms for a
+# full 30-iteration cgmres core is physically impossible), so the only
+# honest per-solve number chains REPS *dependent* solves inside ONE program.
+def main3():
+    import warnings
+    warnings.filterwarnings("ignore")
+    import numpy as np
+    import time
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from structurepreservingiterativesolvers_tpu import precond
+    from structurepreservingiterativesolvers_tpu.models import heat
+    from structurepreservingiterativesolvers_tpu.solvers.cgmres import (
+        _build_core as cg_core,
+    )
+    from structurepreservingiterativesolvers_tpu.solvers.gmres import (
+        _build_core as g_core,
+    )
+    from structurepreservingiterativesolvers_tpu.solvers.hostio import dscalar
+
+    s = heat.linforms(M=256)
+    A, b = s.A, s.b
+    cons = tuple(s.constraints())
+    pre = precond.chebyshev(A, degree=8)
+    k = 30
+    dt = b.dtype
+
+    def med(fn, reps=5):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); fn(); ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    REPS = 10
+    gc = g_core(k, None, False, True, "cgs2", "while")
+    tol50 = dscalar(1e-50, dt)
+
+    @jax.jit
+    def chain_g(b):
+        def body(i, acc):
+            return gc(A, b + 1e-10 * acc, None, tol50, None).x
+        return lax.fori_loop(0, REPS, body, b * 0)
+
+    t = med(lambda: chain_g(b).block_until_ready())
+    print(f"gmres core chained x{REPS}:  {t*1e3:9.2f} ms total, "
+          f"{t/REPS*1e3:8.3f} ms/solve", flush=True)
+
+    core = cg_core(k, len(cons), None, False, False, dt == jnp.float32,
+                   ("q",) * len(cons), "cgs2", True, "while")
+    tol, contol, ctol = dscalar(1e-7, dt), dscalar(10.0, dt), dscalar(1e-12, dt)
+
+    @jax.jit
+    def chain_c(b):
+        def body(i, acc):
+            return core(A, b + 1e-10 * acc, None, cons, tol, contol, ctol,
+                        pre).x
+        return lax.fori_loop(0, REPS, body, b * 0)
+
+    t = med(lambda: chain_c(b).block_until_ready())
+    print(f"cgmres core chained x{REPS}: {t*1e3:9.2f} ms total, "
+          f"{t/REPS*1e3:8.3f} ms/solve (pre)", flush=True)
+
+
 if __name__ == "__main__":
     main()
     main2()
+    main3()
