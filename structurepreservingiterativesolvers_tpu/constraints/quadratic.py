@@ -239,6 +239,67 @@ def reduced_scale(buf: ReducedBuffers, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _dd_matvec(M, x):
+    """M @ x in double-f32 arithmetic (x a ``dd.DD`` pair, result a DD).
+
+    Dispatches over the operator types a constraint matrix can be: DIA
+    (roll-chain SpMV mirrors ops/sparse.py), MatComb (exactly-split static
+    coefficients), StageKron (dd through the affine RK map), and dense
+    arrays (broadcast two-product + pairwise dd reduction).
+    """
+    from ..ops import dd as _dd
+    from ..ops.sparse import DIA
+
+    if isinstance(M, DIA):
+        return _dd.spmv_dia(_dd.from_f64_jnp(M.data), M.offsets, M.wrap, x)
+    if isinstance(M, MatComb):
+        acc = None
+        for c, A in zip(M.coeffs, M.mats):
+            term = _dd.mul(_dd.from_f64_scalar(float(c)), _dd_matvec(A, x))
+            acc = term if acc is None else _dd.add(acc, term)
+        return acc
+    if isinstance(M, StageKron):
+        # P x = dt · Σ_s b_s X_s, then inner, then Pᵀ (scale each stage copy)
+        bd = _dd.from_f64_jnp(jnp.asarray(M.b) * M.dt)  # (ns,) exact split
+        hi = x.hi.reshape(M.ns, -1)
+        lo = x.lo.reshape(M.ns, -1)
+        acc = None
+        for s in range(M.ns):
+            bs = _dd.DD(bd.hi[s], bd.lo[s])
+            term = _dd.mul(bs, _dd.DD(hi[s], lo[s]))
+            acc = term if acc is None else _dd.add(acc, term)
+        w = _dd_matvec(M.inner, acc)
+        outs = [_dd.mul(_dd.DD(bd.hi[s], bd.lo[s]), w) for s in range(M.ns)]
+        return _dd.DD(
+            jnp.stack([o.hi for o in outs]).reshape(-1),
+            jnp.stack([o.lo for o in outs]).reshape(-1),
+        )
+    Md = jnp.asarray(M.todense() if hasattr(M, "todense") else M)
+    prod = _dd.mul_f32(
+        _dd.DD(x.hi[None, :], x.lo[None, :]), Md.astype(jnp.float32)
+    )
+    return _dd.dd_sum(prod, axis=-1)
+
+
+def dd_constraint_value(con: QuadraticConstraint, x) -> jnp.ndarray:
+    """g(x) = ½ xᵀ M x + vᵀ x + c evaluated in double-f32 (x a ``dd.DD``).
+
+    This is the mixed-precision certificate path: on TPU every f64 array op
+    is emulated (~10× slower, see ops/dd.py preamble), so constraint *values*
+    — which need ~1e-14 relative accuracy for the safety latch — are computed
+    as unevaluated f32 pairs and only the final scalar is promoted.
+    """
+    from ..ops import dd as _dd
+
+    acc = _dd.from_f64_jnp(jnp.asarray(con.c))
+    if con.v is not None:
+        acc = _dd.add(acc, _dd.dot(_dd.from_f64_jnp(jnp.asarray(con.v)), x))
+    if con.M is not None:
+        u = _dd_matvec(con.M, x)
+        acc = _dd.add(acc, _dd.mul_f32(_dd.dot(x, u), jnp.float32(0.5)))
+    return _dd.to_f64(acc)
+
+
 def constraint_checker(x: jnp.ndarray, cons: Sequence[QuadraticConstraint]):
     """Maximum absolute constraint deviation at x.
 
