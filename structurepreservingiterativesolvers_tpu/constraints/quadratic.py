@@ -154,13 +154,33 @@ class ReducedBuffers(NamedTuple):
 
 
 def init_buffers(
-    con: QuadraticConstraint, x0: jnp.ndarray, k: int, cdtype=None
+    con: QuadraticConstraint,
+    x0: jnp.ndarray,
+    k: int,
+    cdtype=None,
+    x0_zero: bool = False,
+    dd_value: bool = False,
 ) -> ReducedBuffers:
     """``cdtype`` is the reduction dtype: on f32 hardware the reduction and
     the KKT endgame run in (emulated) f64 — the data is tiny and the
-    constraint certificate needs the headroom (mixed-precision mode)."""
+    constraint certificate needs the headroom (mixed-precision mode).
+
+    ``x0_zero`` (static) skips the g(x0) evaluation entirely — t0 = c exactly
+    — saving an n-sized SpMV per constraint per solve on the common x0=None
+    path.  ``dd_value`` evaluates g(x0) in double-f32 instead of emulated f64
+    (TPU: every f64 op on an n-sized array is emulated, scripts/tpu_probe14;
+    the dd path is pure f32 VPU work, scripts/tpu_probe15/17)."""
     cdtype = cdtype or x0.dtype
-    t0 = con(x0.astype(cdtype))
+    if x0_zero:
+        t0 = jnp.asarray(con.c).astype(cdtype)
+    elif dd_value and x0.dtype == jnp.float32 and dd_supported(con.M):
+        # double-f32 evaluation is only valid when x0 is natively f32 —
+        # with f64 storage the from_f32 split would truncate x0
+        from ..ops import dd as _dd
+
+        t0 = dd_constraint_value(con, _dd.from_f32(x0)).astype(cdtype)
+    else:
+        t0 = con(x0.astype(cdtype))
     return ReducedBuffers(
         t0=t0, t1=jnp.zeros(k, cdtype), T2=jnp.zeros((k, k), cdtype)
     )
@@ -172,18 +192,19 @@ def update_buffers(
     Z: jnp.ndarray,  # (k, n) Krylov Z-basis rows (row j freshly set)
     x0: jnp.ndarray,
     j: jnp.ndarray,
+    x0_zero: bool = False,
 ) -> ReducedBuffers:
     """Fold the new basis vector Z[j] into the reduced constraint."""
     cdtype = buf.t1.dtype
     zj = Z[j].astype(cdtype)
-    x0c = x0.astype(cdtype)
     t1j = jnp.zeros((), cdtype)
     if con.v is not None:
         t1j = t1j + jnp.dot(con.v.astype(cdtype), zj)
     T2 = buf.T2
     if con.M is not None:
         u = (con.M @ zj).astype(cdtype)
-        t1j = t1j + jnp.dot(u, x0c)
+        if not x0_zero:
+            t1j = t1j + jnp.dot(u, x0.astype(cdtype))
         w = 0.5 * (Z.astype(cdtype) @ u)  # (k,) — inactive rows are zero
         T2 = T2.at[j, :].set(w).at[:, j].set(w)
     return ReducedBuffers(t0=buf.t0, t1=buf.t1.at[j].set(t1j), T2=T2)
@@ -194,6 +215,7 @@ def catchup_buffers(
     buf: ReducedBuffers,
     Z: jnp.ndarray,
     x0: jnp.ndarray,
+    x0_zero: bool = False,
 ) -> ReducedBuffers:
     """Recompute the full reduction in one batched pass (phase-entry catch-up).
 
@@ -202,14 +224,14 @@ def catchup_buffers(
     """
     cdtype = buf.t1.dtype
     Zc = Z.astype(cdtype)
-    x0c = x0.astype(cdtype)
     t1 = jnp.zeros(Z.shape[0], cdtype)
     T2 = jnp.zeros((Z.shape[0], Z.shape[0]), cdtype)
     if con.v is not None:
         t1 = t1 + Zc @ con.v.astype(cdtype)
     if con.M is not None:
         U = (con.M @ Zc.T).astype(cdtype)  # (n, k) SpMM, promoted to cdtype
-        t1 = t1 + U.T @ x0c
+        if not x0_zero:
+            t1 = t1 + U.T @ x0.astype(cdtype)
         T2 = 0.5 * (Zc @ U)
     return ReducedBuffers(t0=buf.t0, t1=t1, T2=T2)
 
@@ -248,10 +270,16 @@ def _dd_matvec(M, x):
     arrays (broadcast two-product + pairwise dd reduction).
     """
     from ..ops import dd as _dd
-    from ..ops.sparse import DIA
+    from ..ops.sparse import DIA, ELL
 
+    if hasattr(M, "dd_matvec"):  # operator-provided dd path (protocol)
+        return M.dd_matvec(x)
     if isinstance(M, DIA):
         return _dd.spmv_dia(_dd.from_f64_jnp(M.data), M.offsets, M.wrap, x)
+    if isinstance(M, ELL):
+        vals = _dd.from_f64_jnp(M.vals)
+        gathered = _dd.DD(x.hi[M.cols], x.lo[M.cols])  # (n, r)
+        return _dd.dd_sum(_dd.mul(vals, gathered), axis=1)
     if isinstance(M, MatComb):
         acc = None
         for c, A in zip(M.coeffs, M.mats):
@@ -274,11 +302,29 @@ def _dd_matvec(M, x):
             jnp.stack([o.hi for o in outs]).reshape(-1),
             jnp.stack([o.lo for o in outs]).reshape(-1),
         )
-    Md = jnp.asarray(M.todense() if hasattr(M, "todense") else M)
+    if not isinstance(M, jnp.ndarray) and hasattr(M, "todense"):
+        raise TypeError(
+            f"no dd matvec for operator type {type(M).__name__}; "
+            "gate with dd_supported()"
+        )
+    Md = jnp.asarray(M)
     prod = _dd.mul_f32(
         _dd.DD(x.hi[None, :], x.lo[None, :]), Md.astype(jnp.float32)
     )
     return _dd.dd_sum(prod, axis=-1)
+
+
+def dd_supported(M) -> bool:
+    """True if ``_dd_matvec`` has a non-densifying path for this operator."""
+    from ..ops.sparse import DIA, ELL
+
+    if M is None or isinstance(M, (DIA, ELL)) or hasattr(M, "dd_matvec"):
+        return True
+    if isinstance(M, MatComb):
+        return all(dd_supported(A) for A in M.mats)
+    if isinstance(M, StageKron):
+        return dd_supported(M.inner)
+    return isinstance(M, jnp.ndarray) and M.ndim == 2
 
 
 def dd_constraint_value(con: QuadraticConstraint, x) -> jnp.ndarray:

@@ -155,6 +155,27 @@ class _BlockDiag3:
                 out = out.at[f * n0:(f + 1) * n0, f * n0:(f + 1) * n0].set(c * Md)
         return out
 
+    def dd_matvec(self, x):
+        """Double-f32 matvec (constraints/quadratic.py::_dd_matvec protocol)."""
+        from ..constraints.quadratic import _dd_matvec
+        from ..ops import dd as _dd
+
+        his = jnp.split(x.hi, 3)
+        los = jnp.split(x.lo, 3)
+        outs = []
+        for c, h, l in zip(self.coeffs, his, los):
+            if not c:
+                outs.append(_dd.DD(jnp.zeros_like(h), jnp.zeros_like(l)))
+                continue
+            u = _dd_matvec(self.Mmat, _dd.DD(h, l))
+            if c != 1.0:
+                u = _dd.mul(_dd.from_f64_scalar(float(c), h.shape), u)
+            outs.append(u)
+        return _dd.DD(
+            jnp.concatenate([o.hi for o in outs]),
+            jnp.concatenate([o.lo for o in outs]),
+        )
+
 
 import jax.tree_util as _tu
 

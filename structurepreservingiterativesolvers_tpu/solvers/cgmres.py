@@ -98,7 +98,11 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         # endgame run in f64 (tiny, emulated) while SpMV/Arnoldi stay f32
         cdtype = jnp.dtype("float64") if mixed else dt
         # x0=None resolved in-program (a host-side zeros_like is a per-call
-        # host→device put, ~34 ms through the tunnel — scripts/tpu_probe9.py)
+        # host→device put, ~34 ms through the tunnel — scripts/tpu_probe9.py).
+        # x0-is-zero is STATIC knowledge: the t0 = g(x0) evaluation and every
+        # x0 term of the reduction are skipped, saving per-solve n-sized
+        # (emulated-f64 in mixed mode) SpMVs — scripts/tpu_probe17.py.
+        x0_zero = x0 is None
         if x0 is None:
             x0 = jnp.zeros_like(b)
         r0 = b - A @ x0
@@ -106,7 +110,10 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         st0 = init_state(r0, beta, k)
         quad_cons = tuple(c for c, kk in zip(cons, kinds) if kk == "q")
         gen_cons = tuple(c for c, kk in zip(cons, kinds) if kk == "g")
-        bufs0 = tuple(init_buffers(c, x0, k, cdtype) for c in quad_cons)
+        bufs0 = tuple(
+            init_buffers(c, x0, k, cdtype, x0_zero=x0_zero, dd_value=mixed)
+            for c in quad_cons
+        )
 
         res0 = jnp.full((k,), jnp.inf, dt)
         xs0 = jnp.zeros((k + 1, n), dt).at[0].set(r0) if history else None
@@ -146,13 +153,13 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             # --- constraint reduction bookkeeping (quadratic only) --------
             def catchup(bs):
                 return tuple(
-                    catchup_buffers(c, bf, st.Z, x0)
+                    catchup_buffers(c, bf, st.Z, x0, x0_zero=x0_zero)
                     for c, bf in zip(quad_cons, bs)
                 )
 
             def increment(bs):
                 return tuple(
-                    update_buffers(c, bf, st.Z, x0, j)
+                    update_buffers(c, bf, st.Z, x0, j, x0_zero=x0_zero)
                     for c, bf in zip(quad_cons, bs)
                 )
 
@@ -256,6 +263,50 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             jnp.int32(0), jnp.int32(0), xs0,
         )
         if loop == "while":
+            if not prototypical:
+                # Two-phase structure: while the gate cannot trigger
+                # (residual > contol·tol, not the last iteration, latch
+                # untouched — exactly the negation of the reference's gate,
+                # solvers.py:230) run a LEAN loop with no constraint
+                # machinery at all; per-iteration lax.conds with large
+                # branch bodies cost real dispatch time on TPU even when
+                # untaken (scripts/tpu_probe17.py).  The full loop below
+                # then finishes from the phase-1 state with identical
+                # semantics (its first gated iteration does the batched
+                # buffer catch-up).
+                def cond1(c):
+                    _, j, _, _, _, r_prev, brk_, _ = c
+                    return (j < k - 1) & (r_prev > contol * tol) & ~brk_
+
+                def body1(c):
+                    st, j, x, yk, res, r_prev, brk_, xs = c
+                    st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
+                    brk_now = hlast == 0
+                    if true_residual or history:
+                        y = lsq_coeffs(st, j)
+                    else:
+                        y = yk
+                    if true_residual:
+                        x = y @ st.Z + x0
+                        r = jnp.linalg.norm(A @ x - b)
+                    else:
+                        x = x0
+                        r = lsq_residual_estimate(st, j)
+                    res = res.at[j].set(r)
+                    if history:
+                        xs = xs.at[j + 1].set(y @ st.Z + x0)
+                    return (st, j + 1, x, y, res, r, brk_ | brk_now, xs)
+
+                st1, j1, x1, yk1, res1, r1, brk1, xs1 = lax.while_loop(
+                    cond1, body1,
+                    (st0, jnp.int32(0), x0, jnp.zeros(k, dt), res0, beta,
+                     jnp.bool_(False), xs0),
+                )
+                init = (
+                    st1, j1, x1, yk1, res1, r1, jnp.int32(_SAFETY_NONE),
+                    jnp.bool_(False), bufs0, jnp.int32(0), brk1, brk1,
+                    jnp.asarray(jnp.inf, dt), jnp.int32(0), jnp.int32(0), xs1,
+                )
             (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
              kkt_it, nfb, xs) = lax.while_loop(cond, body, init)
         else:

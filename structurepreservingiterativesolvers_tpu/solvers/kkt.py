@@ -136,6 +136,11 @@ def constrained_lsq(
         rhs = -jnp.concatenate([rL, g])
         return K, rhs
 
+    # one batched pass evaluates every backtracking candidate at once —
+    # a sequential halving loop pays (emulated-f64) k-sized matvec latency
+    # per trial, while the batched form is one (T, k) matmul
+    _alphas = jnp.asarray(2.0, dt) ** -jnp.arange(14, dtype=dt)
+
     def body(carry):
         y, lam, rnorm, it, _ = carry
         K, rhs = newton_system(y, lam)
@@ -146,28 +151,17 @@ def constrained_lsq(
         # previous iteration — no recomputation per Newton step
         phi0 = rnorm * rnorm
 
-        def try_alpha(carry2):
-            alpha, _, _ = carry2
-            yn = y + alpha * dy
-            ln = lam + alpha * dlam
-            rn, _, _ = kkt_residual(yn, ln)
-            phin = jnp.dot(rn, rn)
-            ok = phin <= (1.0 - 1e-4 * alpha) * phi0
-            return alpha, ok, phin
-
-        def bt_cond(carry2):
-            alpha, ok, _ = carry2
-            return (~ok) & (alpha > 1e-4)
-
-        def bt_body(carry2):
-            alpha, _, _ = carry2
-            return try_alpha((alpha * 0.5, False, phi0))
-
-        alpha0, ok0, phi_n = try_alpha((jnp.asarray(1.0, dt), False, phi0))
-        alpha, ok, phi_acc = lax.while_loop(
-            bt_cond, bt_body, (alpha0, ok0, phi_n))
-        # take the (possibly tiny) step even if no decrease was found —
-        # matches SLSQP's behaviour of returning its last iterate
+        ys = y[None, :] + _alphas[:, None] * dy[None, :]
+        ls = lam[None, :] + _alphas[:, None] * dlam[None, :]
+        rn = jax.vmap(lambda yy, ll: kkt_residual(yy, ll)[0])(ys, ls)
+        phin = jnp.sum(rn * rn, axis=1)
+        ok = phin <= (1.0 - 1e-4 * _alphas) * phi0
+        # largest Armijo-acceptable alpha; if none, the best-decrease trial
+        # (the reference's SLSQP likewise returns its last iterate on a
+        # failed line search, solvers.py:280-284)
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(phin))
+        alpha = _alphas[idx]
+        phi_acc = phin[idx]
         y = y + alpha * dy
         lam = lam + alpha * dlam
         # stagnation: essentially no decrease of ‖r‖² means the iteration is
@@ -185,7 +179,15 @@ def constrained_lsq(
         return (rnorm > thresh) & (it < maxiter) & ~stalled
 
     y0 = y0 * act
-    lam0 = jnp.zeros(m, dt)
+    # least-squares multiplier estimate: λ0 = argmin ‖∇f + Jᵀλ‖ solved from
+    # the m×m normal equations (m ≤ ~3).  λ0 = 0 costs 1-3 extra Newton
+    # iterations at ~1 solve_dense each (scripts/tpu_probe15.py).
+    _, g_0, J_0 = kkt_residual(y0, jnp.zeros(m, dt))
+    Jm0 = J_0 * act[None, :]
+    gf0 = (G2 @ y0 - bf) * act
+    S = Jm0 @ Jm0.T + jnp.diag(1.0 - con_mask)
+    lam0 = -solve_dense(S, Jm0 @ gf0) * con_mask
+    lam0 = jnp.where(jnp.isfinite(lam0), lam0, 0.0)
     r0, _, _ = kkt_residual(y0, lam0)
     y, lam, rnorm, iters, _ = lax.while_loop(
         cond, body,

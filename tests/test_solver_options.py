@@ -30,3 +30,28 @@ def test_option_matrix(sys_, mixed, ortho, loop, true_residual):
     assert abs(float(inv["mass"] - sys_.m0)) < 1e-10
     assert abs(float(inv["energy"] - sys_.e0)) < 1e-10
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_f32_storage_warm_start_dd_t0(sys_):
+    """Mixed-precision path with f32 storage and a NONZERO x0: t0 = g(x0)
+    is evaluated in double-f32 (constraints/quadratic.py::dd_constraint_value)
+    and the certificate must still hold to the roundoff-floored latch."""
+    import jax.numpy as jnp
+
+    s32 = lkdv.linforms(M=50, degree=1, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(
+        np.asarray(s32.b, np.float64)
+        + 1e-3 * rng.standard_normal(s32.b.shape[0]),
+        jnp.float32,
+    )
+    x, info = cgmres(
+        s32.A, s32.b, x0=x0, k=20, tol=1e-5, constraints=s32.constraints()
+    )
+    assert info["safety"] is True
+    inv = s32.compute_invariants(np.asarray(x, np.float64))
+    # f32 iterate: invariants hold to the f32-iterate roundoff scale
+    assert abs(float(inv["mass"] - s32.m0)) < 1e-3
+    assert abs(float(inv["energy"] - s32.e0)) < 1e-3
+    # the certified (reduced, f64) deviation is far tighter
+    assert info["deviation"] < 1e-8
