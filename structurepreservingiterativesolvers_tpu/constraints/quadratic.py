@@ -32,6 +32,7 @@ from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.sparse import _register
 
@@ -186,6 +187,18 @@ def init_buffers(
     )
 
 
+def _dd_rows_dot(X: jnp.ndarray, y_dd):
+    """(k,) dd: row-wise dots of exact-f32 matrix X (k, n) with dd vector y."""
+    from ..ops import dd as _dd
+
+    prod = _dd.mul_f32(_dd.DD(y_dd.hi[None, :], y_dd.lo[None, :]), X)
+    return _dd.dd_sum(prod, axis=-1)
+
+
+def _use_dd_reduction(con, Z, dd_reduce: bool) -> bool:
+    return bool(dd_reduce) and Z.dtype == jnp.float32 and dd_supported(con.M)
+
+
 def update_buffers(
     con: QuadraticConstraint,
     buf: ReducedBuffers,
@@ -193,9 +206,35 @@ def update_buffers(
     x0: jnp.ndarray,
     j: jnp.ndarray,
     x0_zero: bool = False,
+    dd_reduce: bool = False,
 ) -> ReducedBuffers:
-    """Fold the new basis vector Z[j] into the reduced constraint."""
+    """Fold the new basis vector Z[j] into the reduced constraint.
+
+    ``dd_reduce`` (static): do the n-sized work in double-f32 instead of the
+    buffer dtype.  On f32 TPU hardware the mixed-mode buffers are f64 and
+    every n-sized f64 op is emulated — the energy constraint's f64 SpMM was
+    ~12 ms of a 27 ms solve (scripts/tpu_probe18.py); the dd formulation is
+    pure f32 VPU work with ~2⁻⁴⁸ relative error, well inside the certificate
+    floor."""
     cdtype = buf.t1.dtype
+    if _use_dd_reduction(con, Z, dd_reduce):
+        from ..ops import dd as _dd
+
+        zj = Z[j]
+        t1j_dd = _dd.DD(jnp.float32(0.0), jnp.float32(0.0))
+        T2 = buf.T2
+        if con.v is not None:
+            t1j_dd = _dd.dot_f32(_dd.from_f32(con.v), zj)
+        if con.M is not None:
+            u = _dd_matvec(con.M, _dd.from_f32(zj))
+            if not x0_zero:
+                t1j_dd = _dd.add(
+                    t1j_dd, _dd.dot_f32(u, x0.astype(jnp.float32))
+                )
+            w = 0.5 * _dd.to_f64(_dd_rows_dot(Z, u)).astype(cdtype)
+            T2 = T2.at[j, :].set(w).at[:, j].set(w)
+        t1j = _dd.to_f64(t1j_dd).astype(cdtype)
+        return ReducedBuffers(t0=buf.t0, t1=buf.t1.at[j].set(t1j), T2=T2)
     zj = Z[j].astype(cdtype)
     t1j = jnp.zeros((), cdtype)
     if con.v is not None:
@@ -216,13 +255,39 @@ def catchup_buffers(
     Z: jnp.ndarray,
     x0: jnp.ndarray,
     x0_zero: bool = False,
+    dd_reduce: bool = False,
 ) -> ReducedBuffers:
     """Recompute the full reduction in one batched pass (phase-entry catch-up).
 
     Inactive rows of Z are zero, so the result is correct for any active
-    prefix; cost is one SpMM + one (k,n)·(n,k) MXU matmul.
+    prefix; cost is one SpMM + one (k,n)·(n,k) MXU matmul — or, with
+    ``dd_reduce`` (see ``update_buffers``), a vmapped double-f32 SpMM plus a
+    ``lax.map`` of row-dot passes, avoiding all n-sized emulated-f64 work.
     """
     cdtype = buf.t1.dtype
+    if _use_dd_reduction(con, Z, dd_reduce):
+        from ..ops import dd as _dd
+
+        k = Z.shape[0]
+        t1_dd = _dd.DD(jnp.zeros(k, jnp.float32), jnp.zeros(k, jnp.float32))
+        T2 = jnp.zeros((k, k), cdtype)
+        if con.v is not None:
+            t1_dd = _dd_rows_dot(Z, _dd.from_f32(con.v))
+        if con.M is not None:
+            U = jax.vmap(
+                lambda h, l: _dd_matvec(con.M, _dd.DD(h, l))
+            )(Z, jnp.zeros_like(Z))  # (k, n) dd — batched rolls, f32 VPU
+            if not x0_zero:
+                w = _dd_matvec(con.M, _dd.from_f32(x0.astype(jnp.float32)))
+                t1_dd = _dd.add(t1_dd, _dd_rows_dot(Z, w))
+            # T2[i, j] = ½ z_i · u_j — one (k, n) dd pass per row via lax.map
+            # (a full vmap would materialise a (k, k, n) intermediate)
+            rows = lax.map(
+                lambda zrow: _dd.dd_sum(_dd.mul_f32(U, zrow), axis=-1), Z
+            )
+            T2 = 0.5 * _dd.to_f64(rows).astype(cdtype)
+        t1 = _dd.to_f64(t1_dd).astype(cdtype)
+        return ReducedBuffers(t0=buf.t0, t1=t1, T2=T2)
     Zc = Z.astype(cdtype)
     t1 = jnp.zeros(Z.shape[0], cdtype)
     T2 = jnp.zeros((Z.shape[0], Z.shape[0]), cdtype)

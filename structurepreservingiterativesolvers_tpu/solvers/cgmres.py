@@ -153,13 +153,15 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             # --- constraint reduction bookkeeping (quadratic only) --------
             def catchup(bs):
                 return tuple(
-                    catchup_buffers(c, bf, st.Z, x0, x0_zero=x0_zero)
+                    catchup_buffers(c, bf, st.Z, x0, x0_zero=x0_zero,
+                                    dd_reduce=mixed)
                     for c, bf in zip(quad_cons, bs)
                 )
 
             def increment(bs):
                 return tuple(
-                    update_buffers(c, bf, st.Z, x0, j, x0_zero=x0_zero)
+                    update_buffers(c, bf, st.Z, x0, j, x0_zero=x0_zero,
+                                   dd_reduce=mixed)
                     for c, bf in zip(quad_cons, bs)
                 )
 

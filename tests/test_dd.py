@@ -150,3 +150,46 @@ def test_quadratic_dd_value_matches_f64():
     got = float(dd_constraint_value(con, x))
     scale = abs(0.5 * np.abs(xr) @ (np.abs(Md) @ np.abs(xr))) + abs(truth) + 1.0
     assert abs(got - truth) < scale * 1e-12
+
+
+def test_dd_reduction_matches_f64():
+    """catchup_buffers / update_buffers with dd_reduce=True (the mixed-mode
+    TPU path, scripts/tpu_probe18.py) agree with the native-f64 reduction to
+    dd roundoff on an f32 system."""
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.constraints.quadratic import (
+        catchup_buffers, init_buffers, update_buffers,
+    )
+    from structurepreservingiterativesolvers_tpu.models import heat
+
+    s32 = heat.linforms(M=24, dtype=jnp.float32)
+    cons = tuple(s32.constraints())
+    n = s32.b.shape[0]
+    k = 9
+    Z = jnp.asarray(RNG.standard_normal((k, n)), jnp.float32)
+    Z = Z.at[k - 2 :].set(0.0)  # inactive suffix rows, as in the solver
+    x0 = jnp.asarray(RNG.standard_normal(n), jnp.float32)
+
+    for con in cons:
+        for x0_zero, x0v in [(True, jnp.zeros_like(x0)), (False, x0)]:
+            b0 = init_buffers(con, x0v, k, jnp.float64, x0_zero=x0_zero)
+            ref = catchup_buffers(con, b0, Z, x0v, x0_zero=x0_zero)
+            got = catchup_buffers(
+                con, b0, Z, x0v, x0_zero=x0_zero, dd_reduce=True
+            )
+            scale1 = np.abs(np.asarray(ref.t1)).max() + 1.0
+            scale2 = np.abs(np.asarray(ref.T2)).max() + 1.0
+            assert np.max(np.abs(np.asarray(ref.t1 - got.t1))) < scale1 * 1e-12
+            assert np.max(np.abs(np.asarray(ref.T2 - got.T2))) < scale2 * 1e-12
+
+            j = jnp.int32(k - 2)
+            Zj = Z.at[k - 2].set(
+                jnp.asarray(RNG.standard_normal(n), jnp.float32)
+            )
+            ref_u = update_buffers(con, ref, Zj, x0v, j, x0_zero=x0_zero)
+            got_u = update_buffers(
+                con, got, Zj, x0v, j, x0_zero=x0_zero, dd_reduce=True
+            )
+            assert np.max(np.abs(np.asarray(ref_u.t1 - got_u.t1))) < scale1 * 1e-12
+            assert np.max(np.abs(np.asarray(ref_u.T2 - got_u.T2))) < scale2 * 1e-12
