@@ -84,15 +84,33 @@ def main():
 
     from jax import lax
 
-    def make_spmv_chain(reps):
-        @jax.jit
-        def chain(x):
-            # dependent SpMVs: each feeds the next, so nothing can be elided
-            return lax.fori_loop(0, reps, lambda i, v: A @ (v / (i + 1.0)), x)
-        return lambda: chain(x).block_until_ready()
+    def make_spmv_chain(A_op):
+        def make(reps):
+            @jax.jit
+            def chain(x):
+                # dependent SpMVs: each feeds the next, nothing can be elided
+                return lax.fori_loop(0, reps, lambda i, v: A_op @ (v / (i + 1.0)), x)
+            return lambda: chain(x).block_until_ready()
+        return make
 
-    t_dev = _chained_time(make_spmv_chain, reps_inner=100 if on_accel else 20)
+    import dataclasses
+
+    reps = 100 if on_accel else 20
+    t_xla = _chained_time(make_spmv_chain(dataclasses.replace(A, engine="xla")),
+                          reps_inner=reps)
+    if on_accel:
+        t_pallas = _chained_time(
+            make_spmv_chain(dataclasses.replace(A, engine="pallas")),
+            reps_inner=reps,
+        )
+    else:
+        t_pallas = float("inf")  # interpret mode is not a measurement
+    t_dev = min(t_xla, t_pallas)
     dev_nnz_s = nnz / t_dev
+    # roofline: ideal HBM traffic is nnz (A.data) + n (x) + n (y) elements;
+    # v5e peak HBM bandwidth is ~819 GB/s
+    bytes_ideal = (nnz + 2 * b.shape[0]) * b.dtype.itemsize
+    hbm_fraction = (bytes_ideal / t_dev) / 819e9 if on_accel else float("nan")
 
     # host baseline: scipy CSR (the reference's SpMV engine)
     xh = np.asarray(x, dtype=np.float64)
@@ -153,6 +171,10 @@ def main():
             "n": int(b.shape[0]),
             "nnz": int(nnz),
             "spmv_time_s": t_dev,
+            "spmv_time_xla_s": t_xla,
+            "spmv_time_pallas_s": t_pallas if on_accel else None,
+            "spmv_engine": "pallas" if t_pallas < t_xla else "xla",
+            "hbm_fraction": hbm_fraction,
             "host_scipy_nnz_per_s": host_nnz_s,
             "cgmres_tts_s": t_cg,
             "cgmres_steps": ci["steps"],

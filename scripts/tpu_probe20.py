@@ -1,72 +1,89 @@
-"""Continue the Mosaic bisect: 3-D data BlockSpec + the real DIA kernel,
-each in a SUBPROCESS (the failure may be a hard crash, not an exception)."""
-import subprocess
-import sys
+"""Probe 20: Pallas DIA SpMV vs XLA roll chain on the real chip.
 
-CASES = {
-    "3d data blockspec": r"""
-import warnings; warnings.filterwarnings("ignore")
-import numpy as np, jax, jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-LANES, Rb, D, grid_n = 128, 8, 7, 5
-data3 = jnp.asarray(np.random.default_rng(0).standard_normal((D, grid_n*Rb, LANES)), jnp.float32)
-x = jnp.asarray(np.random.default_rng(1).standard_normal((grid_n*Rb, LANES)), jnp.float32)
-def kern(d_ref, x_ref, y_ref):
-    acc = d_ref[0] * x_ref[:]
-    for d in range(1, D):
-        acc = acc + d_ref[d] * x_ref[:]
-    y_ref[:] = acc
-y = pl.pallas_call(kern, grid=(grid_n,),
-    in_specs=[pl.BlockSpec((D, Rb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-              pl.BlockSpec((Rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-    out_specs=pl.BlockSpec((Rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    out_shape=jax.ShapeDtypeStruct((grid_n*Rb, LANES), jnp.float32))(data3, x)
-y.block_until_ready(); print("OK")
-""",
-    "real dia kernel M=64": r"""
-import warnings; warnings.filterwarnings("ignore")
-import sys; sys.path.insert(0, ".")
-import numpy as np, jax, jax.numpy as jnp
-from structurepreservingiterativesolvers_tpu.models import heat
-from structurepreservingiterativesolvers_tpu.ops.pallas_spmv import dia_spmv_pallas
-s = heat.linforms(M=64, dtype=jnp.float32)
-A = s.A
-x = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]), jnp.float32)
-y = dia_spmv_pallas(A, x, block_rows=1024)
-err = float(jnp.abs(y - A @ x).max())
-print("OK err", err)
-""",
-    "real dia kernel M=1024 R=16384": r"""
-import warnings; warnings.filterwarnings("ignore")
-import sys; sys.path.insert(0, ".")
-import numpy as np, jax, jax.numpy as jnp
-from structurepreservingiterativesolvers_tpu.models import heat
-from structurepreservingiterativesolvers_tpu.ops.pallas_spmv import dia_spmv_pallas
-s = heat.linforms(M=1024)
-A = s.A
-x = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]), s.b.dtype)
-y = dia_spmv_pallas(A, x, block_rows=16384)
-err = float(jnp.abs(y - A @ x).max())
-print("OK err", err)
-""",
-}
+Chained in-program timing (dependent SpMVs) at heat M=1024 — the bench
+headline config.  Also checks numeric parity on device.
+"""
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():
-    for name, code in CASES.items():
-        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=300)
-        out = (r.stdout or "").strip().splitlines()
-        ok = out[-1] if out else ""
-        if r.returncode == 0 and ok.startswith("OK"):
-            print(f"{name:32s} {ok}", flush=True)
-        else:
-            err_lines = [l for l in (r.stderr or "").splitlines()
-                         if l.strip()][-6:]
-            print(f"{name:32s} FAIL rc={r.returncode}", flush=True)
-            for l in err_lines:
-                print(f"    {l[:180]}", flush=True)
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from structurepreservingiterativesolvers_tpu.models import heat
+
+    print("backend:", jax.default_backend(), flush=True)
+    # health check
+    t0 = time.perf_counter()
+    print("health:", float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]),
+          time.perf_counter() - t0, flush=True)
+
+    s = heat.linforms(M=1024, N=100)
+    A, b = s.A, s.b
+    nnz = s.A_csr.nnz
+    n = b.shape[0]
+    print("n", n, "nnz", nnz, "offsets", A.offsets, "wrap", A.wrap, flush=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), b.dtype)
+
+    # parity on device
+    Ax = dataclasses.replace(A, engine="xla")
+    Ap = dataclasses.replace(A, engine="pallas")
+    y_x = jax.jit(lambda A_, v: A_ @ v)(Ax, x)
+    y_p = jax.jit(lambda A_, v: A_ @ v)(Ap, x)
+    err = float(jnp.max(jnp.abs(y_x - y_p)) / jnp.max(jnp.abs(y_x)))
+    print("rel err pallas vs xla:", err, flush=True)
+
+    def chained(A_op, reps=100, outer=5):
+        @jax.jit
+        def chain(v):
+            return lax.fori_loop(0, reps, lambda i, w: A_op @ (w / (i + 1.0)), v)
+
+        chain(x).block_until_ready()
+        ts = []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            chain(x).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / reps
+
+    for name, A_op in [("xla", Ax), ("pallas", Ap)]:
+        t = chained(A_op)
+        print(f"{name}: {t*1e3:.4f} ms  {nnz/t/1e9:.1f} GNNZ/s  "
+              f"{(nnz+2*n)*4/t/1e9:.0f} GB/s ideal-traffic", flush=True)
+
+    # block size sweep for the pallas kernel
+    from structurepreservingiterativesolvers_tpu.ops.pallas_spmv import (
+        dia_spmv_pallas,
+    )
+
+    for br in (4096, 8192, 16384, 32768, 65536):
+        def mk(reps, br=br):
+            @jax.jit
+            def chain(v):
+                return lax.fori_loop(
+                    0, reps,
+                    lambda i, w: dia_spmv_pallas(A, w / (i + 1.0), block_rows=br),
+                    v,
+                )
+            return chain
+
+        c = mk(100)
+        c(x).block_until_ready()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c(x).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts)) / 100
+        print(f"pallas br={br}: {t*1e3:.4f} ms  {nnz/t/1e9:.1f} GNNZ/s", flush=True)
 
 
 if __name__ == "__main__":

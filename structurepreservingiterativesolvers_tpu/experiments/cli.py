@@ -54,6 +54,23 @@ def main(argv=None):
 
     sub.add_parser("bench", help="headline benchmark (one JSON line)")
 
+    p = sub.add_parser(
+        "dist-bench",
+        help="multi-host distributed benchmark: run once per host process "
+             "(env SPIS_COORDINATOR/SPIS_NUM_PROCESSES/SPIS_PROCESS_ID), or "
+             "--spawn N to validate with N local CPU processes and print "
+             "the scaling-efficiency table",
+    )
+    p.add_argument("--problem", default="swe",
+                   choices=["lkdv", "lkdvrk", "heat", "swe"])
+    p.add_argument("--M", type=int, default=32)
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--spawn", type=int, default=None, metavar="N",
+                   help="spawn jobs with 1..N processes locally (CPU devices) "
+                        "and print the efficiency table")
+    p.add_argument("--devices-per-process", type=int, default=4)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "single":
@@ -87,6 +104,26 @@ def main(argv=None):
         import runpy
 
         runpy.run_path("bench.py", run_name="__main__")
+    elif args.cmd == "dist-bench":
+        import os
+
+        if args.spawn:
+            from .scaling import dist_efficiency
+
+            counts = sorted({1, args.spawn})
+            dist_efficiency(args.problem, M=args.M, k=args.k, tol=args.tol,
+                            process_counts=counts,
+                            devices_per_process=args.devices_per_process)
+        else:
+            # worker mode: honour a CPU platform request before touching jax
+            # (the axon site-package overrides the env var alone)
+            if os.environ.get("JAX_PLATFORMS") == "cpu":
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+            from .scaling import dist_bench_worker
+
+            dist_bench_worker(args.problem, M=args.M, k=args.k, tol=args.tol)
 
 
 if __name__ == "__main__":

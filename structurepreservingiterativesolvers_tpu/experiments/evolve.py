@@ -97,11 +97,15 @@ def evolve(
     T = getattr(system.prob, "T", 1.0)
     dt_step = float(T) / N
 
+    import jax as _jax
+
     for i in range(start_step, N + 1):
         x0 = x if warm_start else jnp.zeros_like(system.b)
         x, sdict = solver(system, x0=x0, k=k, tol=tol, pre=pre)
         steps_hist.append(sdict.get("steps", -1) if isinstance(sdict, dict) else -1)
-        inv = system.compute_invariants(x)
+        # ONE batched device→host fetch per step: each separate float(...) is
+        # its own ~30-55 ms RPC through the axon tunnel (scripts/tpu_probe9.py)
+        inv = _jax.device_get(system.compute_invariants(x))
         for n in names:
             if n in inv:
                 series[n].append(float(inv[n]))

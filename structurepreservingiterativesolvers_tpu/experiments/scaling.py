@@ -117,3 +117,134 @@ def report(rows) -> str:
 
     df = pd.DataFrame(rows)
     return df.to_markdown(index=False)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) scaling — BASELINE north star: ≥80% efficiency
+# at 2 hosts.  Worker + spawner pair; see parallel/distributed.py.
+# ---------------------------------------------------------------------------
+
+_DIST_TAG = "DIST_RESULT "
+
+
+def dist_bench_worker(
+    problem: str = "swe",
+    M: int = 32,
+    k: int = 20,
+    tol: float = 1e-6,
+    reps: int = 3,
+):
+    """One process of a distributed benchmark job.  Every process must run
+    this with the same arguments (SPMD); the coordinator prints one
+    ``DIST_RESULT {json}`` line with solve/SpMV timings on the GLOBAL mesh."""
+    import json
+
+    import jax
+
+    from ..parallel import shard_system
+    from ..parallel.distributed import global_mesh, init_distributed, is_coordinator
+    from ..solvers import cgmres
+    from .single_solve import get_model
+
+    init_distributed()
+    mesh = global_mesh()
+    nd = mesh.devices.size
+
+    model = get_model(problem)
+    s = model.linforms(M=M)
+    n = s.b.shape[0]
+    if n % nd:
+        raise ValueError(f"n={n} not divisible by {nd} global devices")
+    nnz = s.A_csr.nnz
+    A, b, x0, cons = shard_system(
+        s.A, s.b, jnp.zeros_like(s.b), s.constraints(), mesh
+    )
+
+    spmv = jax.jit(lambda A_, v: A_ @ v)
+    from ..parallel import shard_vector
+
+    xs = shard_vector(s.b, mesh)
+    spmv(A, xs).block_until_ready()
+    t_spmv = _med(lambda: spmv(A, xs).block_until_ready(), reps=max(reps, 5))
+
+    def solve():
+        x, _ = cgmres(A, b, x0, k=k, tol=tol, constraints=cons)
+        return x.block_until_ready()
+
+    x = solve()  # compile
+    t_solve = _med(solve, reps=reps, warmup=0)
+    x_fin, info = cgmres(A, b, x0, k=k, tol=tol, constraints=cons)
+
+    result = {
+        "problem": problem,
+        "M": M,
+        "n": int(n),
+        "nnz": int(nnz),
+        "hosts": int(jax.process_count()),
+        "devices": int(nd),
+        "spmv_time_s": t_spmv,
+        "spmv_nnz_per_s": nnz / t_spmv,
+        "solve_time_s": t_solve,
+        "steps": info["steps"],
+        "deviation": info["deviation"],
+        "safety": info["safety"],
+    }
+    if is_coordinator():
+        print(_DIST_TAG + json.dumps(result), flush=True)
+    return result
+
+
+def dist_efficiency(
+    problem: str = "swe",
+    M: int = 32,
+    k: int = 20,
+    tol: float = 1e-6,
+    process_counts=(1, 2),
+    devices_per_process: int = 4,
+    to_markdown: bool = True,
+):
+    """Strong-scaling efficiency across host counts (the BASELINE table).
+
+    Spawns one distributed job per process count (multi-process CPU
+    validation when no pod is attached; on a pod, launch
+    ``dist-bench`` once per host instead) and reports
+    efficiency = t₁·d₁ / (t_N·d_N) for solve and SpMV.
+    """
+    import json
+
+    from ..parallel.distributed import spawn_local
+
+    argv_base = [
+        "dist-bench", "--problem", problem, "--M", str(M), "--k", str(k),
+        "--tol", str(tol),
+    ]
+    rows = []
+    for i, np_ in enumerate(process_counts):
+        outs = spawn_local(
+            np_, argv_base, port=12973 + 17 * np_,
+            devices_per_process=devices_per_process,
+        )
+        res = None
+        for rc, out in outs:
+            for line in out.splitlines():
+                if line.startswith(_DIST_TAG):
+                    res = json.loads(line[len(_DIST_TAG):])
+        if res is None:
+            logs = "\n".join(o[-2000:] for _, o in outs)
+            raise RuntimeError(
+                f"distributed job with {np_} processes produced no result:\n{logs}"
+            )
+        rows.append(res)
+
+    base = rows[0]
+    for r in rows:
+        scale = r["devices"] / base["devices"]
+        r["solve_efficiency"] = base["solve_time_s"] / (r["solve_time_s"] * scale)
+        r["spmv_efficiency"] = base["spmv_time_s"] / (r["spmv_time_s"] * scale)
+    if to_markdown:
+        import pandas as pd
+
+        cols = ["hosts", "devices", "spmv_time_s", "spmv_nnz_per_s",
+                "solve_time_s", "steps", "spmv_efficiency", "solve_efficiency"]
+        print(pd.DataFrame(rows)[cols].to_markdown(index=False))
+    return rows

@@ -96,20 +96,23 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
         )
     data3 = data.reshape(data.shape[0], n_pad // LANES, LANES)
 
+    # index maps: derive constants from the program id (i - i == 0) so every
+    # returned index is i32 — bare Python 0 literals promote to i64 under
+    # x64 mode and Mosaic fails to legalize the i64 func.return
     kern = partial(_kernel, offsets, lo, Rb, H)
     y = pl.pallas_call(
         kern,
         grid=(grid_n,),
         in_specs=[
-            pl.BlockSpec((data3.shape[0], Rb, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((data3.shape[0], Rb, LANES), lambda i: (i - i, i, i - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rb, LANES), lambda i: (i, 0),
+            pl.BlockSpec((Rb, LANES), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
             # per-program halo block (leading dim 1; last two dims aligned)
-            pl.BlockSpec((1, H, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, H, LANES), lambda i: (i, i - i, i - i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Rb, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((Rb, LANES), lambda i: (i, i - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), x.dtype),
         interpret=interpret,

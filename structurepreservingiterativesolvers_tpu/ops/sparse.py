@@ -66,8 +66,13 @@ class DIA:
     offsets: Tuple[int, ...]  # static
     shape: Tuple[int, int]  # static
     wrap: bool  # static
+    # SpMV engine: 'auto' picks the Pallas kernel on TPU backends (size/dtype
+    # gated, see ``_pallas_eligible``), 'xla' forces the roll chain (used for
+    # GSPMD row-sharded operators, where pallas_call would block partitioning),
+    # 'pallas' forces the kernel (tests/benchmarks).
+    engine: str = "auto"  # static
 
-    _static = ("offsets", "shape", "wrap")
+    _static = ("offsets", "shape", "wrap", "engine")
 
     @property
     def nnz(self) -> int:
@@ -213,13 +218,44 @@ def _shift(x: jnp.ndarray, off: int, wrap: bool) -> jnp.ndarray:
     return jnp.where(valid, rolled, 0)
 
 
+# Pallas dispatch gates: below this row count the kernel's padding/halo set-up
+# outweighs the traffic saving; above it the kernel's nnz+~3n HBM traffic beats
+# the roll chain's per-diagonal re-reads.
+PALLAS_MIN_N = 65536
+
+
+def _pallas_eligible(A: "DIA", x) -> bool:
+    if A.engine == "xla":
+        return False
+    n = A.shape[0]
+    span = max(max(A.offsets), 0) - min(min(A.offsets), 0)
+    structurally_ok = (
+        x.ndim == 1
+        and jnp.result_type(A.data, x) == jnp.float32
+        and span < n  # halo table must fit beside the x tiles
+    )
+    if A.engine == "pallas":
+        return structurally_ok
+    # 'auto': only on a real TPU backend, and only when big enough to win
+    from .. import config
+
+    return structurally_ok and n >= PALLAS_MIN_N and config.is_tpu()
+
+
 def dia_spmv(A: DIA, x: jnp.ndarray) -> jnp.ndarray:
-    """DIA SpMV as d fused multiply-adds over rolled views of x.
+    """DIA SpMV: Pallas tile-aligned kernel on TPU (nnz+O(n) HBM traffic),
+    XLA roll chain elsewhere.
 
     jnp.roll lowers to efficient rotations on TPU (measured ~99 GNNZ/s on
     v5e for the 7-diagonal heat operator); lane-unaligned dynamic slices are
     ~20× slower there, so the padded-window formulation is deliberately NOT
     used on the XLA path (the Pallas kernel owns that strategy)."""
+    if _pallas_eligible(A, x):
+        from .. import config
+        from .pallas_spmv import dia_spmv_pallas
+
+        # interpret mode lets engine='pallas' run (tests) on CPU backends
+        return dia_spmv_pallas(A, x, interpret=not config.is_tpu())
     y = jnp.zeros(A.shape[0], jnp.result_type(A.data, x))
     for d, off in enumerate(A.offsets):
         y = y + A.data[d] * _shift(x, off, A.wrap)

@@ -40,7 +40,11 @@ def shard_matrix(A, mesh: Mesh):
     """Place a sparse operator's row dimension on the mesh."""
     if isinstance(A, DIA):
         sh = NamedSharding(mesh, P(None, ROWS))
-        return dataclasses.replace(A, data=jax.device_put(A.data, sh))
+        # engine='xla': GSPMD partitions the roll chain; a pallas_call here
+        # would force a gather of the full operand onto one device
+        return dataclasses.replace(
+            A, data=jax.device_put(A.data, sh), engine="xla"
+        )
     if isinstance(A, ELL):
         sh = NamedSharding(mesh, P(ROWS, None))
         return dataclasses.replace(

@@ -46,11 +46,11 @@ def _build_core(k: int, static_pre):
         res0 = jnp.full((k,), jnp.inf, b.dtype)
 
         def cond(c):
-            x, r, z, p, rz, j, done = c
+            x, r, z, p, rz, j, res, done = c
             return (j < k) & ~done
 
         def body(c):
-            x, r, z, p, rz, j, done = c
+            x, r, z, p, rz, j, res, done = c
             Ap = A @ p
             alpha = rz / jnp.dot(p, Ap)
             x = x + alpha * p
@@ -59,15 +59,20 @@ def _build_core(k: int, static_pre):
             rz_new = jnp.dot(r, z)
             p = z + (rz_new / rz) * p
             rnorm = jnp.linalg.norm(r)
-            return (x, r, z, p, rz_new, j + 1, rnorm < tol)
+            res = res.at[j].set(rnorm)
+            return (x, r, z, p, rz_new, j + 1, res, rnorm < tol)
 
-        init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.int32(0),
+        init = (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.int32(0), res0,
                 jnp.linalg.norm(r0) < tol)
-        x, r, z, p, rz, j, done = lax.while_loop(cond, body, init)
+        x, r, z, p, rz, j, res, done = lax.while_loop(cond, body, init)
 
-        # recompute true residual history is omitted (single final value)
-        return CgResult(x=x, res=res0.at[0].set(jnp.linalg.norm(A @ x - b)),
-                        steps=j)
+        # per-iteration residuals follow the CG recurrence (r is b − A x up to
+        # roundoff); the terminal entry is replaced by the recomputed TRUE
+        # residual, matching the reference's termination-time check
+        # (reference solvers.py:116,122-127) without paying an extra SpMV
+        # per iteration.
+        res = res.at[jnp.maximum(j - 1, 0)].set(jnp.linalg.norm(A @ x - b))
+        return CgResult(x=x, res=res, steps=j)
 
     return core
 
@@ -86,7 +91,7 @@ def cg(A, b, x0=None, k: int = 100, tol: float = 1e-8, pre=None):
     res_h, steps_h = jax.device_get((out.res, out.steps))  # one batched fetch
     info = {
         "name": "cg",
-        "res": res_h[:1],
+        "res": res_h[: max(int(steps_h), 1)],  # per-iteration, like gmres
         "steps": int(steps_h),
     }
     return out.x, info
