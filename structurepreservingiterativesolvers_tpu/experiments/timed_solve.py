@@ -32,7 +32,18 @@ def default_pre_builder(problem: str):
     if problem.lower() == "lkdvrk":
         from ..models import lkdvrk
 
-        return lkdvrk.element_block_preconditioner
+        def build(system):
+            # RAS over ~5 blocks + degree-3 Neumann acceleration: beats the
+            # reference's spilu iteration counts (docs/ILU_PARITY.md)
+            nloc = system.prob.degree + 1
+            ne = system.n0 // nloc
+            target = max(ne // 5, 2)
+            eb = max(d for d in range(1, target + 1) if ne % d == 0)
+            inner = lkdvrk.element_block_preconditioner(
+                system, elems_per_block=eb, overlap=max(2, eb // 5))
+            return _precond.neumann_composite(system.A, inner, degree=3)
+
+        return build
     return lambda system: None
 
 

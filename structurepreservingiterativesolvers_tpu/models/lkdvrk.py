@@ -38,7 +38,7 @@ import scipy.sparse.linalg as spla
 
 from ..config import default_dtype
 from ..constraints.quadratic import QuadraticConstraint, stage_mapped
-from ..ops.sparse import from_scipy
+from ..ops.sparse import bsr_from_scipy, from_scipy
 from .fem1d import Space1D
 from .lkdv import MLENGTH, _BlockDiag3
 from .tableaux import ButcherTableau, gauss_legendre
@@ -298,7 +298,14 @@ def linforms(
         z0=jnp.asarray(z0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),
         Gmat=from_scipy(Gh, dtype=dtype),
-        Minv=from_scipy(_mass_inverse(Mh, fem), dtype=dtype),
+        # DG mass inverse is block-diagonal per element → BSR: the
+        # consistent-field updates in step_update run as batched MXU block
+        # matmuls (bsr_spmm) instead of a gathered ELL SpMV
+        Minv=(
+            bsr_from_scipy(_mass_inverse(Mh, fem), prob.degree + 1, dtype=dtype)
+            if fem.kind == "DG"
+            else from_scipy(_mass_inverse(Mh, fem), dtype=dtype)
+        ),
         omega=jnp.asarray(omega_h, dtype),
         m0=jnp.asarray(m0, dtype),
         mo0=jnp.asarray(mo0, dtype),

@@ -1,4 +1,12 @@
 from .base import IdentityPreconditioner, as_preconditioner  # noqa: F401
-from .chebyshev import Chebyshev, Neumann, chebyshev, neumann  # noqa: F401
+from .chebyshev import (  # noqa: F401
+    Chebyshev,
+    Neumann,
+    NeumannComposite,
+    chebyshev,
+    neumann,
+    neumann_composite,
+)
 from .jacobi import BlockJacobi, Jacobi, block_jacobi, contiguous_blocks, diagonal, jacobi  # noqa: F401
 from .amg import AMG, amg  # noqa: F401
+from .ilu_oracle import DenseApply, direct_oracle, ilu_oracle  # noqa: F401

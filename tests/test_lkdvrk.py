@@ -67,3 +67,17 @@ def test_one_step_error_small(sys2):
     kbig = spla.spsolve(sys2.A_csr, np.asarray(sys2.b))
     err = sys2.compute_error(jnp.asarray(kbig), t=sys2.prob.dt)
     assert err < 1e-3
+
+
+def test_dg_mass_inverse_is_bsr(sys2):
+    """The DG block mass inverse ships as BSR (the production consumer of
+    the format): step_update's consistent-field solves run as batched MXU
+    block matmuls, and they reproduce the host LU solve."""
+    from structurepreservingiterativesolvers_tpu.ops.sparse import BSR
+
+    assert isinstance(sys2.Minv, BSR)
+    assert sys2.Minv.block_size == sys2.prob.degree + 1
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(sys2.n0))
+    host = spla.spsolve(sys2.Mh.tocsc(), np.asarray(v))
+    np.testing.assert_allclose(np.asarray(sys2.Minv @ v), host, atol=1e-10)
