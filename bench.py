@@ -95,7 +95,10 @@ def main():
 
     import dataclasses
 
-    reps = 100 if on_accel else 20
+    # 1000 chained reps: at 100 reps the ~30 ms per-dispatch RPC floor of the
+    # axon tunnel contributes ~0.3 ms/rep and the "SpMV time" is pure
+    # artifact (this is what made BENCH_r01 report 25 GNNZ/s; probe24)
+    reps = 1000 if on_accel else 20
     t_xla = _chained_time(make_spmv_chain(dataclasses.replace(A, engine="xla")),
                           reps_inner=reps)
     if on_accel:

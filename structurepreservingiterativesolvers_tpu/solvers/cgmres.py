@@ -188,12 +188,12 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
         def cond(carry):
             (st, j, x, yk, res, r_prev, safety, started, bufs, ncon, done, brk,
-             dev, kkt_it, nfb, xs) = carry
+             dev, kkt_it, nfb, lamc, Kinvc, haveK, xs) = carry
             return (j < k) & ~done
 
         def body(carry):
             (st, j, x, yk, res, r_prev, safety, started, bufs, ncon, done, brk,
-             dev, kkt_it, nfb, xs) = carry
+             dev, kkt_it, nfb, lamc, Kinvc, haveK, xs) = carry
             st, hlast = arnoldi_step(A, prefunc, st, j, ortho)
             brk_now = hlast == 0
             active = coef_idx <= j
@@ -263,9 +263,18 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                     else taylor_buffers(next(gi), warm, st.Z, x0, cdtype)
                     for i in range(m)
                 )
-                kkt = constrained_lsq(st.H.astype(cdtype), beta.astype(cdtype),
-                                      all_bufs, warm.astype(cdtype), active,
-                                      con_mask, kkt_tol=kkt_tol)
+                # multipliers and the KKT inverse are carried across gated
+                # iterations (the reduced data changes by rank ~2 per Arnoldi
+                # step, so the previous factorisation stays a good
+                # modified-Newton operator); prototypical mode re-factors
+                # because its enforced-constraint set changes per iteration
+                kkt = constrained_lsq(
+                    st.H.astype(cdtype), beta.astype(cdtype),
+                    all_bufs, warm.astype(cdtype), active,
+                    con_mask, kkt_tol=kkt_tol,
+                    lam_ws=lamc, Kinv_ws=Kinvc,
+                    have_ws=jnp.bool_(False) if prototypical else haveK,
+                )
                 bad = jnp.any(jnp.isnan(kkt.y))
                 y = jnp.where(bad, y_fallback, kkt.y.astype(dt))
                 # the Taylor model is exact for quadratic g; for general g
@@ -292,16 +301,17 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 )
                 return (y, new_safety.astype(jnp.int32),
                         kkt.deviation.astype(dt), kkt.iters,
-                        bad.astype(jnp.int32))
+                        bad.astype(jnp.int32),
+                        kkt.lam, kkt.Kinv, ~bad)
 
             def unconstrained(_):
                 # fast mode: keep the (stale) warm-start coefficients — they
                 # are only consumed at constrained-phase entry
                 y_here = yk if y_unc is None else y_unc
                 return (y_here, safety, jnp.asarray(jnp.inf, dt), jnp.int32(0),
-                        jnp.int32(0))
+                        jnp.int32(0), lamc, Kinvc, haveK)
 
-            y, safety, dev_j, kit, fb = lax.cond(
+            y, safety, dev_j, kit, fb, lamc, Kinvc, haveK = lax.cond(
                 gate, constrained, unconstrained, None)
 
             if true_residual:
@@ -323,13 +333,17 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 done = ((r < tol) & (safety == _SAFETY_OK)) | brk_now
             ncon = ncon + gate.astype(jnp.int32)
             return (st, j + 1, x, y, res, r, safety, started_new, bufs, ncon,
-                    done, brk | brk_now, dev_j, kkt_it + kit, nfb + fb, xs)
+                    done, brk | brk_now, dev_j, kkt_it + kit, nfb + fb,
+                    lamc, Kinvc, haveK, xs)
 
+        lam0_c = jnp.zeros((m,), cdtype)
+        Kinv0_c = jnp.zeros((k + m, k + m), cdtype)
         init = (
             st0, jnp.int32(0), x0, jnp.zeros(k, dt), res0, beta,
             jnp.int32(_SAFETY_NONE), jnp.bool_(False), bufs0, jnp.int32(0),
             jnp.bool_(False), jnp.bool_(False), jnp.asarray(jnp.inf, dt),
-            jnp.int32(0), jnp.int32(0), xs0,
+            jnp.int32(0), jnp.int32(0), lam0_c, Kinv0_c, jnp.bool_(False),
+            xs0,
         )
         if loop == "while":
             if not prototypical:
@@ -350,10 +364,12 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 init = (
                     st1, j1, x1, yk1, res1, r1, jnp.int32(_SAFETY_NONE),
                     jnp.bool_(False), bufs0, jnp.int32(0), brk1, brk1,
-                    jnp.asarray(jnp.inf, dt), jnp.int32(0), jnp.int32(0), xs1,
+                    jnp.asarray(jnp.inf, dt), jnp.int32(0), jnp.int32(0),
+                    lam0_c, Kinv0_c, jnp.bool_(False), xs1,
                 )
             (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk, dev,
-             kkt_it, nfb, xs) = lax.while_loop(cond, body, init)
+             kkt_it, nfb, _lamf, _Kinvf, _haveKf, xs) = lax.while_loop(
+                 cond, body, init)
         else:
             # static-trip variant (see gmres.py): k iterations always run;
             # result fields freeze at first convergence, the Arnoldi state
@@ -370,7 +386,8 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 return (new[0],) + tuple(frozen)
 
             (st, j, x, yk, res, r, safety, started, bufs, ncon, done, brk,
-             dev, kkt_it, nfb, xs) = lax.fori_loop(0, k, fbody, init)
+             dev, kkt_it, nfb, _lamf, _Kinvf, _haveKf, xs) = lax.fori_loop(
+                 0, k, fbody, init)
         if not true_residual:
             # yk holds the last constrained coefficients; if the loop never
             # entered the constrained phase (breakdown), fall back to the LSQ
