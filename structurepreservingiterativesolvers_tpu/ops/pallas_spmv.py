@@ -53,24 +53,24 @@ def _kernel(offsets, lo, Rb, H, data_ref, x_ref, halo_ref, y_ref):
     y_ref[:] = acc
 
 
-def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
-                    interpret: bool = False) -> jnp.ndarray:
-    n = A.shape[0]
-    offsets = A.offsets
+def _window_geometry(n: int, offsets, block_rows: int):
+    """Shared tile/halo geometry for the windowed-x kernels."""
     lo = -min(min(offsets), 0)
     hi = max(max(offsets), 0)
-    span = lo + hi
-
     R = min(block_rows, max(((n + LANES - 1) // LANES) * LANES, LANES))
     R = ((R + LANES - 1) // LANES) * LANES
     Rb = R // LANES
     n_pad = ((n + R - 1) // R) * R
     grid_n = n_pad // R
-    # halo sublanes: enough to cover the largest positive shift
     H = (lo + hi) // LANES + 2
     H = ((H + 7) // 8) * 8  # sublane-align the halo block
+    return lo, hi, R, Rb, n_pad, grid_n, H
 
-    if A.wrap:
+
+def _windowed_x(x: jnp.ndarray, n: int, lo: int, hi: int, wrap: bool,
+                n_pad: int, grid_n: int, Rb: int, H: int):
+    """Build the lane-major main view and per-program halo table of x."""
+    if wrap:
         head = x[:hi] if hi else x[:0]
         tail = x[n - lo:] if lo else x[:0]
         x_ext = jnp.concatenate([tail, x, head])
@@ -82,12 +82,18 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
     extra = tot - x_ext.shape[0]
     if extra > 0:
         x_ext = jnp.concatenate([x_ext, jnp.zeros((extra,), x.dtype)])
-    x2d = x_ext[:tot].reshape(-1, LANES)  # (n_pad/128 + H, 128)
-
-    # halo table: halo[i] = sublanes [(i+1)*Rb, (i+1)*Rb + H)
+    x2d = x_ext[:tot].reshape(-1, LANES)
     idx = (jnp.arange(grid_n)[:, None] + 1) * Rb + jnp.arange(H)[None, :]
     halo = x2d[idx]  # (grid_n, H, 128)
-    xmain = x2d[: n_pad // LANES]
+    return x2d[: n_pad // LANES], halo
+
+
+def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
+                    interpret: bool = False) -> jnp.ndarray:
+    n = A.shape[0]
+    offsets = A.offsets
+    lo, hi, R, Rb, n_pad, grid_n, H = _window_geometry(n, offsets, block_rows)
+    xmain, halo = _windowed_x(x, n, lo, hi, A.wrap, n_pad, grid_n, Rb, H)
 
     data = A.data
     if n_pad != n:
@@ -117,4 +123,60 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
         out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), x.dtype),
         interpret=interpret,
     )(data3, xmain, halo)
+    return y.reshape(-1)[:n]
+
+
+def _const_kernel(offsets, lo, Rb, H, const_ref, x_ref, halo_ref, y_ref):
+    """Constant-coefficient stencil: identical shift structure to ``_kernel``
+    but the per-diagonal multiplier is one SMEM scalar — no matrix data
+    blocks touch HBM at all (traffic = x tile + halo + y tile)."""
+    W = jnp.concatenate([x_ref[:], halo_ref[0]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
+
+    acc = None
+    for d, off in enumerate(offsets):
+        s = lo + off
+        q, r = divmod(s, LANES)
+        A = W[q : q + Rb, :]
+        if r == 0:
+            seg = A
+        else:
+            B = W[q + 1 : q + 1 + Rb, :]
+            shift = jnp.asarray(LANES - r, jnp.int32)
+            rollA = pltpu.roll(A, shift, 1)
+            rollB = pltpu.roll(B, shift, 1)
+            seg = jnp.where(lane < jnp.int32(LANES - r), rollA, rollB)
+        term = const_ref[d, 0] * seg
+        acc = term if acc is None else acc + term
+    y_ref[:] = acc
+
+
+def stencil_spmv_pallas(S, x: jnp.ndarray, block_rows: int = 65536,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Matrix-free constant-stencil SpMV (the ``C`` part of ``A = C + E``;
+    the caller applies the row-sparse ``E`` correction).  HBM traffic is
+    ``~2n + pad`` elements versus ``nnz + 2n`` for explicit DIA."""
+    n = S.shape[0]
+    offsets = S.offsets
+    lo, hi, R, Rb, n_pad, grid_n, H = _window_geometry(n, offsets, block_rows)
+    xmain, halo = _windowed_x(x, n, lo, hi, S.wrap, n_pad, grid_n, Rb, H)
+    const2d = S.const.reshape(-1, 1)
+
+    kern = partial(_const_kernel, offsets, lo, Rb, H)
+    y = pl.pallas_call(
+        kern,
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((const2d.shape[0], 1), lambda i: (i - i, i - i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Rb, LANES), lambda i: (i, i - i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, LANES), lambda i: (i, i - i, i - i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Rb, LANES), lambda i: (i, i - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), x.dtype),
+        interpret=interpret,
+    )(const2d, xmain, halo)
     return y.reshape(-1)[:n]
