@@ -176,12 +176,13 @@ def fused_evolve(
 
     if mesh is not None:
         from ..ops.sparse import DIA, ELL
+        from ..ops.stencil import Stencil
         from ..parallel import shard_matrix, shard_vector
 
         updates = {}
         for f in _dc.fields(sys0):
             val = getattr(sys0, f.name)
-            if isinstance(val, (DIA, ELL)):
+            if isinstance(val, (DIA, ELL, Stencil)):
                 updates[f.name] = shard_matrix(val, mesh)
             elif isinstance(val, jnp.ndarray) and val.ndim == 1 and val.size > 16:
                 updates[f.name] = shard_vector(val, mesh)

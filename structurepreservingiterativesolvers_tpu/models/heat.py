@@ -30,6 +30,7 @@ import scipy.sparse as sp
 from ..config import default_dtype
 from ..constraints.quadratic import MatComb, QuadraticConstraint
 from ..ops.sparse import from_scipy
+from ..ops.stencil import maybe_stencil
 from .fem2d import SpaceP1
 
 
@@ -142,7 +143,7 @@ def linforms(
     m0 = omega_h @ u0
 
     return System(
-        A=from_scipy(A_csr, dtype=dtype),
+        A=maybe_stencil(from_scipy(A_csr, dtype=dtype)),
         b=jnp.asarray(b, dtype),
         z0=jnp.asarray(u0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),

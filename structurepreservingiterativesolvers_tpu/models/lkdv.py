@@ -35,6 +35,7 @@ import scipy.sparse as sp
 from ..config import default_dtype
 from ..constraints.quadratic import MatComb, QuadraticConstraint
 from ..ops.sparse import from_scipy
+from ..ops.stencil import maybe_stencil
 from .fem1d import Space1D
 
 MLENGTH = 40.0
@@ -240,7 +241,7 @@ def linforms(
 
     z0 = np.concatenate([u0, v0, w0])
     return System(
-        A=from_scipy(A_csr, dtype=dtype),
+        A=maybe_stencil(from_scipy(A_csr, dtype=dtype)),
         b=jnp.asarray(b, dtype),
         z0=jnp.asarray(z0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),

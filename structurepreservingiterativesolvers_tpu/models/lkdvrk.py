@@ -39,6 +39,7 @@ import scipy.sparse.linalg as spla
 from ..config import default_dtype
 from ..constraints.quadratic import QuadraticConstraint, stage_mapped
 from ..ops.sparse import bsr_from_scipy, from_scipy
+from ..ops.stencil import maybe_stencil
 from .fem1d import Space1D
 from .lkdv import MLENGTH, _BlockDiag3
 from .tableaux import ButcherTableau, gauss_legendre
@@ -293,7 +294,7 @@ def linforms(
     z0 = np.concatenate([u0, v0, w0])
 
     return System(
-        A=from_scipy(A_csr, dtype=dtype),
+        A=maybe_stencil(from_scipy(A_csr, dtype=dtype)),
         b=jnp.asarray(b_big, dtype),
         z0=jnp.asarray(z0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),

@@ -34,6 +34,7 @@ import scipy.sparse as sp
 from ..config import default_dtype
 from ..constraints.quadratic import QuadraticConstraint
 from ..ops.sparse import from_scipy
+from ..ops.stencil import maybe_stencil
 
 MLENGTH = 40.0
 
@@ -192,7 +193,7 @@ def linforms(
     e0 = 0.5 * z0 @ (np.concatenate([h * h * z0[:n0], h * h * z0[n0 : 2 * n0], h * h * c * c * z0[2 * n0 :]]))
 
     return System(
-        A=from_scipy(A_csr, dtype=dtype),
+        A=maybe_stencil(from_scipy(A_csr, dtype=dtype)),
         b=jnp.asarray(b, dtype),
         z0=jnp.asarray(z0, dtype),
         omega=jnp.asarray(omega, dtype),

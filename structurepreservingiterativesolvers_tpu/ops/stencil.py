@@ -13,9 +13,10 @@ part — HBM traffic drops from ``nnz + 2n`` elements (the DIA roofline) to
 operators and the dominant cost of every Krylov iteration
 (reference solvers.py:95,191,370).
 
-``maybe_stencil`` performs the (host-side, bit-exact) decomposition at
-assembly time and returns the original ``DIA`` unchanged when the matrix is
-not stencil-like, so nothing downstream needs to care.  ``Stencil`` mirrors
+``maybe_stencil`` performs the host-side decomposition at assembly time
+(exact on uncorrected rows, ulp-level on the O(boundary) corrected rows) and
+returns the original ``DIA`` unchanged when the matrix is not stencil-like,
+so nothing downstream needs to care.  ``Stencil`` mirrors
 the DIA operator surface (``@``, ``shape``, ``nnz``, ``todense``, ``astype``,
 ``.data``/``.offsets``) and keeps the full ``DIA`` as a field for consumers
 that need explicit matrix values (preconditioner setup, sharding, SpMM
@@ -31,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sparse import DIA, PALLAS_MIN_N, _register, _shift, dia_spmm
+from .sparse import DIA, PALLAS_MIN_N, _register, _shift
 
 
 @_register
@@ -94,11 +95,13 @@ def as_dia(A):
 def maybe_stencil(A, max_corr_frac: float = 0.125):
     """Decompose a DIA matrix into constant stencil + row-sparse residual.
 
-    The constant for each diagonal is its *mode* over in-range rows, so the
-    decomposition is bit-exact (``E`` holds exact differences; rows where all
-    differences are 0.0 need no correction).  Returns ``A`` unchanged when
-    the corrected-row fraction exceeds ``max_corr_frac`` (the traffic win
-    would be eaten by the gather) or when ``A`` is not a DIA.
+    The constant for each diagonal is its *mode* over in-range rows.  The
+    SpMV is exact on uncorrected rows (``E`` is identically zero there, so
+    ``C`` alone reproduces the row); on corrected rows ``C·x + E·x`` differs
+    from ``A·x`` only by one extra f32 rounding of the split product
+    (ulp-level, ~1e-7 relative in f32).  Returns ``A`` unchanged when the
+    corrected-row fraction exceeds ``max_corr_frac`` (the traffic win would
+    be eaten by the gather) or when ``A`` is not a DIA.
     """
     import os
 

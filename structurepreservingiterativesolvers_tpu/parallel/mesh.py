@@ -38,6 +38,12 @@ def _pad_to(n: int, d: int) -> int:
 
 def shard_matrix(A, mesh: Mesh):
     """Place a sparse operator's row dimension on the mesh."""
+    from ..ops.stencil import as_dia
+
+    # Stencil → shard its explicit DIA view: the residual-row gather/scatter
+    # is not GSPMD-friendly, and the sharded roll chain is the designed
+    # multi-chip SpMV (engine='xla' below)
+    A = as_dia(A)
     if isinstance(A, DIA):
         sh = NamedSharding(mesh, P(None, ROWS))
         # engine='xla': GSPMD partitions the roll chain; a pallas_call here

@@ -176,10 +176,14 @@ def _fuse_block_rows(A, degree: int, fused: Optional[bool], block_rows: int):
     fraction of the tile, and the working set inside scoped VMEM."""
     from ..ops.pallas_poly import fit_block_rows
     from ..ops.sparse import DIA
+    from ..ops.stencil import Stencil
 
     if fused is False:
         return 0
-    if not isinstance(A, DIA) or A.data.dtype != jnp.float32 or degree < 2:
+    # Stencil proxies .data/.offsets/.wrap, so the fused windowed kernel
+    # builds identically from either form
+    if not isinstance(A, (DIA, Stencil)) or A.data.dtype != jnp.float32 \
+            or degree < 2:
         return 0
     br = fit_block_rows(A.shape[0], A.offsets, degree, block_rows)
     # halo per side = degree·max(lo,hi)+128 (ops/pallas_poly._plan); the two

@@ -22,6 +22,9 @@ from ..ops.sparse import DIA, ELL, _register
 
 def diagonal(A) -> jnp.ndarray:
     """Extract the main diagonal of a device sparse matrix."""
+    from ..ops.stencil import as_dia
+
+    A = as_dia(A)  # Stencil → its explicit-matrix DIA view
     if isinstance(A, DIA):
         if 0 in A.offsets:
             return A.data[A.offsets.index(0)]
