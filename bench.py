@@ -150,8 +150,7 @@ def main():
     # stencil's constant part moves ~2n (+ O(corr) for the residual rows)
     bytes_dia = (nnz + 2 * n_rows) * itemsize
     if is_stencil:
-        ncorr = int(A.resid_idx.shape[0])
-        bytes_prod = (2 * n_rows + ncorr * (len(A.offsets) + 2)) * itemsize
+        bytes_prod = (2 * n_rows + A.corr_elements) * itemsize
     else:
         bytes_prod = bytes_dia
     t_best_dia = min(t_xla, t_pallas)

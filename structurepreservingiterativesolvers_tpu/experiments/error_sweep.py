@@ -61,8 +61,15 @@ def run_single(
 
     pre = None
     if precondition and solver != "Exact":
+        # the ILU-quality composite (RAS + Neumann acceleration) the timed
+        # benchmarks use — the bare element-block preconditioner stalls at
+        # reference-scale M (residual 0.4 → 0.01 in 50 iterations at M=400,
+        # which blows up the evolution; the reference leans on spilu here,
+        # reference lkdvRK/Evolve.py:51-52)
+        from .timed_solve import default_pre_builder
+
         sys0 = lkdvrk.linforms(N=N, M=M, degree=degree, tstages=tstages, T=1.0)
-        pre = lkdvrk.element_block_preconditioner(sys0)
+        pre = default_pre_builder("lkdvrk")(sys0)
 
     if solver == "Exact":
         def solver_wrapped(system, x0=None, k=k, tol=tol, pre=None):

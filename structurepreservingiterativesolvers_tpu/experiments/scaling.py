@@ -167,6 +167,15 @@ def dist_bench_worker(
     spmv(A, xs).block_until_ready()
     t_spmv = _med(lambda: spmv(A, xs).block_until_ready(), reps=max(reps, 5))
 
+    # collective latency floor: one global sum of a tiny sharded vector (the
+    # shape of every MGS inner product).  On loopback-gloo CPU surrogates
+    # this is ~tens of ms and dominates everything; on a pod it rides
+    # ICI at ~µs — report it so efficiency numbers can be interpreted.
+    tiny = shard_vector(jnp.ones((nd * 8,), s.b.dtype), mesh)
+    allred = jax.jit(lambda v: jnp.sum(v))
+    allred(tiny).block_until_ready()
+    t_coll = _med(lambda: allred(tiny).block_until_ready(), reps=max(reps, 5))
+
     def solve():
         x, _ = cgmres(A, b, x0, k=k, tol=tol, constraints=cons)
         return x.block_until_ready()
@@ -184,6 +193,7 @@ def dist_bench_worker(
         "devices": int(nd),
         "spmv_time_s": t_spmv,
         "spmv_nnz_per_s": nnz / t_spmv,
+        "collective_latency_s": t_coll,
         "solve_time_s": t_solve,
         "steps": info["steps"],
         "deviation": info["deviation"],

@@ -73,12 +73,21 @@ class System:
     old_energy: jnp.ndarray
     prob: Problem
     A_csr: sp.csr_matrix = dataclasses.field(repr=False, default=None)
+    # energy-constraint matrix M + ½dt·K pre-combined at assembly (see
+    # ``constraints``); None falls back to the MatComb form
+    Emat: object = None
 
     def constraints(self):
         dt = self.prob.dt
         mass = QuadraticConstraint(M=None, v=self.omega, c=-self.m0, name="mass")
+        # M + ½dt·K pre-combined at assembly (host f64, exact): M and K share
+        # the sparsity pattern, so the combined DIA HALVES every dd SpMV/SpMM
+        # in the constraint catch-up and increments vs a MatComb of the two
+        # (the catch-up is the dominant constrained-phase cost, probe23/26)
+        Mc = self.Emat if self.Emat is not None else MatComb(
+            (1.0, 0.5 * dt), (self.Mmat, self.Lmat))
         energy = QuadraticConstraint(
-            M=MatComb((1.0, 0.5 * dt), (self.Mmat, self.Lmat)),
+            M=Mc,
             v=0.5 * dt * self.Lz0,
             c=-self.old_energy,
             name="energy",
@@ -148,6 +157,7 @@ def linforms(
         z0=jnp.asarray(u0, dtype),
         Mmat=from_scipy(Mh, dtype=dtype),
         Lmat=from_scipy(Kh, dtype=dtype),
+        Emat=from_scipy(sp.csr_matrix(Mh + 0.5 * dt_step * Kh), dtype=dtype),
         Lz0=jnp.asarray(Lz0, dtype),
         omega=jnp.asarray(omega_h, dtype),
         m0=jnp.asarray(m0, dtype),

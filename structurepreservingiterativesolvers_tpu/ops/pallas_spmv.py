@@ -127,34 +127,45 @@ def dia_spmv_pallas(A: DIA, x: jnp.ndarray, block_rows: int = 16384,
 
 
 def _const_kernel(offsets, lo, Rb, H, const_ref, x_ref, halo_ref, y_ref):
-    """Constant-coefficient stencil: identical shift structure to ``_kernel``
-    but the per-diagonal multiplier is one SMEM scalar — no matrix data
-    blocks touch HBM at all (traffic = x tile + halo + y tile)."""
+    """Constant-coefficient stencil: no matrix data blocks touch HBM at all
+    (traffic = x tile + halo + y tile).  Lane rotations are the VPU
+    bottleneck (scripts/tpu_probe25.py), so the whole window is rotated ONCE
+    per *distinct* lane shift and every diagonal sharing that shift reads
+    free slices of it (an MXU shift-matrix formulation was tried and is
+    slower: f32 needs HIGHEST precision = 6-pass bf16 emulation)."""
     W = jnp.concatenate([x_ref[:], halo_ref[0]], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
 
-    acc = None
+    # one full-window rotation per distinct lane shift r
+    by_r = {}
     for d, off in enumerate(offsets):
-        s = lo + off
-        q, r = divmod(s, LANES)
-        A = W[q : q + Rb, :]
+        q, r = divmod(lo + off, LANES)
+        by_r.setdefault(r, []).append((d, q))
+    rolled = {
+        r: pltpu.roll(W, jnp.asarray(LANES - r, jnp.int32), 1)
+        for r in by_r if r != 0
+    }
+
+    acc = None
+    for r, diags in sorted(by_r.items()):
         if r == 0:
-            seg = A
-        else:
-            B = W[q + 1 : q + 1 + Rb, :]
-            shift = jnp.asarray(LANES - r, jnp.int32)
-            rollA = pltpu.roll(A, shift, 1)
-            rollB = pltpu.roll(B, shift, 1)
-            seg = jnp.where(lane < jnp.int32(LANES - r), rollA, rollB)
-        term = const_ref[d, 0] * seg
-        acc = term if acc is None else acc + term
+            for d, q in diags:
+                term = const_ref[d, 0] * W[q : q + Rb, :]
+                acc = term if acc is None else acc + term
+            continue
+        Wr = rolled[r]
+        sel = lane < jnp.int32(LANES - r)
+        for d, q in diags:
+            seg = jnp.where(sel, Wr[q : q + Rb, :], Wr[q + 1 : q + 1 + Rb, :])
+            term = const_ref[d, 0] * seg
+            acc = term if acc is None else acc + term
     y_ref[:] = acc
 
 
 def stencil_spmv_pallas(S, x: jnp.ndarray, block_rows: int = 65536,
                         interpret: bool = False) -> jnp.ndarray:
     """Matrix-free constant-stencil SpMV (the ``C`` part of ``A = C + E``;
-    the caller applies the row-sparse ``E`` correction).  HBM traffic is
+    the caller applies the boundary-strip ``E`` correction).  HBM traffic is
     ``~2n + pad`` elements versus ``nnz + 2n`` for explicit DIA."""
     n = S.shape[0]
     offsets = S.offsets

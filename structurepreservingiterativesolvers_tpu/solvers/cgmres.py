@@ -276,7 +276,65 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                     have_ws=jnp.bool_(False) if prototypical else haveK,
                 )
                 bad = jnp.any(jnp.isnan(kkt.y))
-                y = jnp.where(bad, y_fallback, kkt.y.astype(dt))
+                # far-branch rejection: the quadratic constraints are
+                # nonconvex, and when they are infeasible near the LSQ
+                # minimiser at this Krylov dimension the Newton-KKT iteration
+                # can converge to a *far* feasible point (observed: Hessenberg
+                # residual 471 vs 2e-5 unconstrained at lkdvRK M=400,
+                # tol=1e-3).  The reference's SLSQP in the same situation
+                # returns a best-effort near-minimiser with violated
+                # constraints, which its checker turns into safety=False
+                # (reference solvers.py:256-284) — mirror that: keep the
+                # unconstrained coefficients and trip the latch.
+                e1 = (jnp.arange(k + 1) == 0).astype(cdtype)
+                Hc = st.H.astype(cdtype)
+                res_kkt = jnp.linalg.norm(beta.astype(cdtype) * e1 - Hc @ kkt.y)
+                res_unc = jnp.linalg.norm(
+                    beta.astype(cdtype) * e1 - Hc @ y_fallback.astype(cdtype)
+                )
+                # a far point is one whose residual exceeds the INITIAL
+                # residual — the constrained solve made the iterate worse
+                # than x0 (observed: 471 vs β=0.43 on lkdvRK).  The
+                # legitimate constrained-residual floor sits orders below β
+                # (1e-5 vs β=2.7 on swe M=8) even though it can be 1e9×
+                # above the unconstrained residual, so neither an absolute
+                # gate-scale threshold nor a pure ratio separates the
+                # regimes robustly (and near-threshold tests flip under
+                # sharded-vs-local reduction roundoff).
+                far = (~bad & (res_kkt > 0.5 * beta.astype(cdtype))
+                       & (res_kkt > 1e3 * res_unc))
+                if not prototypical:
+                    from ..constraints.quadratic import (
+                        reduced_scale,
+                        reduced_value,
+                    )
+
+                    # the roundoff scale must describe the KEPT point: a
+                    # diverged KKT iterate can carry an astronomically large
+                    # scale that would inflate the safety floor past any
+                    # deviation (observed: scale 2.5e287 → floor 1.8e273 →
+                    # latch passes contradictory constraints).  Computed
+                    # unconditionally + where-selected: wrapping this in a
+                    # lax.cond crashes XLA:TPU's HloReplicationAnalysis on
+                    # this toolchain ("Check failed: return_shape->IsTuple()
+                    # ... shape pred[2]").
+                    yfb = y_fallback.astype(cdtype)
+                    dev_fb = jnp.max(jnp.stack([
+                        jnp.abs(reduced_value(bf, yfb)) for bf in all_bufs
+                    ]) * con_mask)
+                    scale_fb = jnp.max(jnp.stack([
+                        reduced_scale(bf, yfb) for bf in all_bufs
+                    ]) * con_mask)
+                    kkt = kkt._replace(
+                        deviation=jnp.where(far, dev_fb, kkt.deviation),
+                        scale=jnp.where(far, scale_fb, kkt.scale),
+                    )
+                else:
+                    # prototypical mode has no termination semantics: keep
+                    # the feasible point (reference cgmres_p enforces the
+                    # cumulative constraints unconditionally, solvers.py:413)
+                    far = jnp.bool_(False)
+                y = jnp.where(bad | far, y_fallback, kkt.y.astype(dt))
                 # the Taylor model is exact for quadratic g; for general g
                 # re-check the true constraint at the accepted coefficients
                 dev_true = kkt.deviation
@@ -302,7 +360,7 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 return (y, new_safety.astype(jnp.int32),
                         kkt.deviation.astype(dt), kkt.iters,
                         bad.astype(jnp.int32),
-                        kkt.lam, kkt.Kinv, ~bad)
+                        kkt.lam, kkt.Kinv, ~bad & ~far)
 
             def unconstrained(_):
                 # fast mode: keep the (stale) warm-start coefficients — they

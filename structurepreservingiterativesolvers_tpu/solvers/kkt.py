@@ -188,21 +188,22 @@ def constrained_lsq(
 
     eps = jnp.finfo(dt).eps
 
-    def _feas_gap(y):
-        """max enforced-constraint violation above its roundoff floor."""
-        g, _ = _constraint_eval(bufs, y, con_mask)
+    # the feasibility floor is frozen at the entry point: reduced_scale
+    # varies slowly in y (warm starts sit near the solution) and evaluating
+    # it per Newton iteration costs m more emulated-f64 matvec chains per
+    # step on TPU; the caller-facing scale is still recomputed at the exit
+    # point below
+    def _floor_at(y):
         scales = jnp.stack([reduced_scale(b, y) for b in bufs]) * con_mask
-        floor = jnp.maximum(10.0 * kkt_tol, 32.0 * eps * jnp.max(scales))
-        return jnp.max(jnp.abs(g)) - floor
+        return jnp.maximum(10.0 * kkt_tol, 32.0 * eps * jnp.max(scales))
 
     def body(carry):
-        y, lam, rnorm, feas, it, Kinv, refacts, fresh, give_up = carry
-        r, _, _ = kkt_residual(y, lam)
+        y, lam, r, rnorm, floor0, it, Kinv, refacts, fresh, give_up = carry
+        # r(y, λ) is CARRIED from the accepted line-search candidate of the
+        # previous iteration (rn[idx] below) — nothing is recomputed here
         step = Kinv @ (-r)
         dy, dlam = step[:k] * act, step[k:] * con_mask
 
-        # ‖r(y,λ)‖ is carried from the accepted line-search trial of the
-        # previous iteration — no recomputation per Newton step
         phi0 = rnorm * rnorm
 
         ys = y[None, :] + _alphas[:, None] * dy[None, :]
@@ -216,6 +217,7 @@ def constrained_lsq(
         idx = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(phin))
         alpha = _alphas[idx]
         phi_acc = phin[idx]
+        r_acc = rn[idx]
         y = y + alpha * dy
         lam = lam + alpha * dlam
         # refactor policy: near the solution a (near-)exact operator
@@ -230,7 +232,7 @@ def constrained_lsq(
         give_up = (stalled & fresh) | (stalled & (refacts >= max_refacts))
         refact = slow & ~give_up & (refacts < max_refacts)
         Kinv = lax.cond(refact, lambda: factor(y, lam), lambda: Kinv)
-        return (y, lam, jnp.sqrt(phi_acc), _feas_gap(y), it + 1, Kinv,
+        return (y, lam, r_acc, jnp.sqrt(phi_acc), floor0, it + 1, Kinv,
                 refacts + refact.astype(jnp.int32), refact, give_up)
 
     # relative threshold for the Lagrangian-gradient part (it scales with the
@@ -241,22 +243,27 @@ def constrained_lsq(
     thresh = kkt_tol * (1.0 + jnp.linalg.norm(bf))
 
     def cond(carry):
-        _, _, rnorm, feas, it, _, _, _, give_up = carry
+        _, _, r, rnorm, floor0, it, _, _, _, give_up = carry
+        feas = jnp.max(jnp.abs(r[k:])) - floor0
         return ((rnorm > thresh) | (feas > 0)) & (it < maxiter) & ~give_up
 
     y0 = y0 * act
+
     # least-squares multiplier estimate: λ0 = argmin ‖∇f + Jᵀλ‖ solved from
     # the m×m normal equations (m ≤ ~3).  λ0 = 0 costs 1-3 extra Newton
-    # iterations at ~1 solve_dense each (scripts/tpu_probe15.py).
-    _, g_0, J_0 = kkt_residual(y0, jnp.zeros(m, dt))
+    # iterations at ~1 solve_dense each (scripts/tpu_probe15.py).  ONE
+    # constraint evaluation (at λ=0) serves both the estimate and the
+    # initial residual: r(y0, λ) = [rL(λ=0) + (Jᵀλ)·act, g], so no second
+    # kkt_residual call is needed.
+    r_zero, g_0, J_0 = kkt_residual(y0, jnp.zeros(m, dt))
+    gf0 = r_zero[:k]  # (∇f)·act at λ=0
     Jm0 = J_0 * act[None, :]
-    gf0 = (G2 @ y0 - bf) * act
     S = Jm0 @ Jm0.T + jnp.diag(1.0 - con_mask)
     lam0 = -solve_dense(S, Jm0 @ gf0) * con_mask
     lam0 = jnp.where(jnp.isfinite(lam0), lam0, 0.0)
     if have_ws is not None and lam_ws is not None:
         lam0 = jnp.where(have_ws, lam_ws * con_mask, lam0)
-    r0, _, _ = kkt_residual(y0, lam0)
+    r0 = jnp.concatenate([gf0 + (J_0.T @ lam0) * act, g_0])
     if have_ws is not None and Kinv_ws is not None:
         Kinv0 = lax.cond(
             have_ws, lambda: Kinv_ws, lambda: factor(y0, lam0)
@@ -267,10 +274,10 @@ def constrained_lsq(
         Kinv0 = factor(y0, lam0)
         nref0 = jnp.int32(1)
         fresh0 = jnp.bool_(True)
-    y, lam, rnorm, _, iters, Kinv, refacts, _, _ = lax.while_loop(
+    y, lam, _, rnorm, _, iters, Kinv, refacts, _, _ = lax.while_loop(
         cond, body,
-        (y0, lam0, jnp.linalg.norm(r0), _feas_gap(y0), jnp.int32(0), Kinv0,
-         nref0, fresh0, jnp.bool_(False)),
+        (y0, lam0, r0, jnp.linalg.norm(r0), _floor_at(y0), jnp.int32(0),
+         Kinv0, nref0, fresh0, jnp.bool_(False)),
     )
     g, _ = _constraint_eval(bufs, y, con_mask)
     scales = jnp.stack([reduced_scale(b, y) for b in bufs]) * con_mask
