@@ -125,3 +125,29 @@ def test_random_feasible_constraints(seed):
     for con in cons:
         assert abs(float(con(x))) < 1e-9
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)
+
+
+def test_far_branch_rejection_keeps_quality():
+    """Loose-tolerance lkdvRK: the gate opens while the Krylov space is too
+    small for all three constraints, where the Newton-KKT used to converge to
+    a FAR feasible point (residual 471 vs beta=0.43 at M=400) and carry it as
+    a warm start for a dozen iterations.  The far-branch rejection must keep
+    every iterate's residual below the initial residual while still
+    certifying the constraints at termination."""
+    import jax.numpy as jnp
+
+    from structurepreservingiterativesolvers_tpu.experiments import wrappers
+    from structurepreservingiterativesolvers_tpu.experiments.timed_solve import (
+        default_pre_builder,
+    )
+    from structurepreservingiterativesolvers_tpu.models import lkdvrk
+
+    s = lkdvrk.linforms(N=10, M=160, degree=3, tstages=2, T=1.0)
+    pre = default_pre_builder("lkdvrk")(s)
+    x, info = wrappers.cgmres_wrapper(s, x0=None, k=50, tol=1e-3, pre=pre)
+    beta = float(jnp.linalg.norm(s.b))
+    res = np.asarray(info["res"][: info["steps"]])
+    assert res.max() < beta, res
+    assert info["safety"] is True
+    assert info["deviation"] < 1e-12
+    assert float(res[-1]) < 1e-3
