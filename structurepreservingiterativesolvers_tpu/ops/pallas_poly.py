@@ -48,14 +48,17 @@ def fit_block_rows(n: int, offsets: Tuple[int, ...], degree: int,
                    requested: int = 131072) -> int:
     """Largest block size whose kernel working set fits scoped VMEM.
 
-    Working set ≈ (ndiag data windows + ~6 vector temporaries) × window.
-    Returns 0 when even the smallest tile cannot fit (caller falls back to
-    the unfused path)."""
+    Working set ≈ (2× double-buffered data windows + ~18 vector
+    temporaries/stack slots) × window — calibrated against a real Mosaic
+    scoped-VMEM OOM (heat M=512, degree 8: the old (ndiag+6) model predicted
+    7.3 MB where the compiler allocated 17.55 MB and overflowed the 16 MB
+    scoped limit).  Returns 0 when even the smallest tile cannot fit (caller
+    falls back to the unfused path)."""
     ndiag = len(offsets)
     br = requested
     while br >= 1024:
         _, _, _, _, _, _, _, Wb = _plan(n, offsets, degree, br)
-        if (ndiag + 6) * Wb * LANES * 4 <= VMEM_BUDGET:
+        if (2 * ndiag + 18) * Wb * LANES * 4 <= VMEM_BUDGET:
             return br
         br //= 2
     return 0
