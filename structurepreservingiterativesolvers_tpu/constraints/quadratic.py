@@ -274,9 +274,20 @@ def catchup_buffers(
         if con.v is not None:
             t1_dd = _dd_rows_dot(Z, _dd.from_f32(con.v))
         if con.M is not None:
-            U = jax.vmap(
-                lambda h, l: _dd_matvec(con.M, _dd.DD(h, l))
-            )(Z, jnp.zeros_like(Z))  # (k, n) dd — batched rolls, f32 VPU
+            if Z.shape[1] >= (1 << 21):
+                # vmap materialises per-diagonal (k, n) dd intermediates —
+                # ~ndiag·k·n·8 bytes, a 21 GB HBM OOM at heat M=2048; the
+                # sequential map keeps the per-row SpMV's temporaries (n,)
+                U = lax.map(
+                    lambda row: _dd_matvec(
+                        con.M, _dd.DD(row, jnp.zeros_like(row))
+                    ),
+                    Z,
+                )
+            else:
+                U = jax.vmap(
+                    lambda h, l: _dd_matvec(con.M, _dd.DD(h, l))
+                )(Z, jnp.zeros_like(Z))  # (k, n) dd — batched rolls, f32 VPU
             if not x0_zero:
                 w = _dd_matvec(con.M, _dd.from_f32(x0.astype(jnp.float32)))
                 t1_dd = _dd.add(t1_dd, _dd_rows_dot(Z, w))

@@ -24,9 +24,17 @@ from .single_solve import get_model
 
 def default_pre_builder(problem: str):
     """Preconditioner choice per problem, mirroring the reference's pairings
-    (heat → AMG, swe → ILU; here their TPU-native stand-ins)."""
+    (heat → AMG, swe → ILU; here their TPU-native stand-ins).
+
+    heat pairs with smoothed-aggregation AMG — like the reference's
+    Ruge–Stüben (heat/TimedSolve.py:30-31) its iteration count is
+    M-independent (14-16 GMRES steps at every size), where a fixed-degree
+    Chebyshev stalls at M ≥ 256 and the sweep would certify conservation
+    gains against a non-converged baseline."""
     if problem == "heat":
-        return lambda system: _precond.chebyshev(system.A, degree=8)
+        from ..precond.amg import amg
+
+        return lambda system: amg(system.A_csr)
     if problem == "swe":
         return lambda system: _precond.neumann(system.A, degree=2)
     if problem.lower() == "lkdvrk":

@@ -575,22 +575,45 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
             x0c = jnp.zeros_like(b) if x0 is None else x0
             quad_cons = tuple(c for c, kk in zip(cons, kinds) if kk == "q")
             if quad_cons:
+                # CHAINED catch-up timing: a single-dispatch measurement is
+                # dominated by the ~30 ms per-call RPC floor of the axon
+                # tunnel (it made "con iter" columns clamp to zero); chain
+                # dependent catch-ups inside one program instead
+                _REPS = 10
 
                 @jax.jit
                 def catchup_prog(Z, x0c, qc):
-                    bufs = tuple(
-                        init_buffers(c, x0c, int(k), cdtype, x0_zero=x0_zero,
-                                     dd_value=mixed)
-                        for c in qc
-                    )
-                    return tuple(
-                        catchup_buffers(c, bf, Z, x0c, x0_zero=x0_zero,
-                                        dd_reduce=mixed)
-                        for c, bf in zip(qc, bufs)
+                    def one(Zi):
+                        bufs = tuple(
+                            init_buffers(c, x0c, int(k), cdtype,
+                                         x0_zero=x0_zero, dd_value=mixed)
+                            for c in qc
+                        )
+                        out = tuple(
+                            catchup_buffers(c, bf, Zi, x0c, x0_zero=x0_zero,
+                                            dd_reduce=mixed)
+                            for c, bf in zip(qc, bufs)
+                        )
+                        leaf = sum(
+                            b.t1[0] + b.T2[0, 0] for b in out
+                        )
+                        return leaf.astype(Z.dtype)
+
+                    def body(i, carry):
+                        # genuine two-way data dependence (1e-12/1e-20-scale
+                        # perturbations): a 0.0-multiply would let XLA DCE
+                        # the whole catch-up out of the chain
+                        leaf = one(Z * (1.0 + 1e-12 * carry))
+                        return carry + 1e-20 * leaf
+
+                    return jax.lax.fori_loop(
+                        0, _REPS, body, jnp.ones((), Z.dtype)
                     )
 
                 jax.block_until_ready(catchup_prog(Z1, x0c, quad_cons))
-                t_build = _med(lambda: catchup_prog(Z1, x0c, quad_cons))
+                t_build = _med(
+                    lambda: catchup_prog(Z1, x0c, quad_cons)
+                ) / _REPS
             else:
                 t_build = 0.0
             timings.update({
