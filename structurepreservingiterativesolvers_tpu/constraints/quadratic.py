@@ -354,8 +354,8 @@ def _dd_matvec(M, x):
         return _dd.spmv_dia(_dd.from_f64_jnp(M.data), M.offsets, M.wrap, x)
     if isinstance(M, ELL):
         vals = _dd.from_f64_jnp(M.vals)
-        gathered = _dd.DD(x.hi[M.cols], x.lo[M.cols])  # (n, r)
-        return _dd.dd_sum(_dd.mul(vals, gathered), axis=1)
+        gathered = _dd.DD(x.hi[M.cols], x.lo[M.cols])  # (r, n)
+        return _dd.dd_sum(_dd.mul(vals, gathered), axis=0)
     if isinstance(M, MatComb):
         acc = None
         for c, A in zip(M.coeffs, M.mats):

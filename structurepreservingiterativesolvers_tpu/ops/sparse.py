@@ -110,21 +110,25 @@ class DIA:
 @_register
 @dataclasses.dataclass(frozen=True)
 class ELL:
-    """Padded-row (ELLPACK) sparse matrix.
+    """Padded-row (ELLPACK) sparse matrix, stored TRANSPOSED: ``cols[s, i]``
+    / ``vals[s, i]`` hold slot ``s`` of row ``i``.
 
-    Each row stores exactly ``row_width`` (cols, vals) pairs; padding entries
+    Each row has exactly ``row_width`` (cols, vals) slots; padding entries
     point at column 0 with value 0, so no masking is needed in the kernel.
+    The (r, n) layout puts the large row dimension minor-most: a (n, r)
+    layout with narrow r is tile-padded r→128 on TPU — a 32× memory blow-up
+    for the AMG prolongators (r=4) that OOM'd heat M=2048 at compile.
     """
 
-    cols: jnp.ndarray  # (n, r) int32
-    vals: jnp.ndarray  # (n, r)
+    cols: jnp.ndarray  # (r, n) int32
+    vals: jnp.ndarray  # (r, n)
     shape: Tuple[int, int]  # static
 
     _static = ("shape",)
 
     @property
     def row_width(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[0]
 
     @property
     def nnz(self) -> int:
@@ -145,7 +149,7 @@ class ELL:
     def todense(self) -> jnp.ndarray:
         n, m = self.shape
         out = jnp.zeros((n, m), self.vals.dtype)
-        rows = jnp.broadcast_to(jnp.arange(n)[:, None], self.cols.shape)
+        rows = jnp.broadcast_to(jnp.arange(n)[None, :], self.cols.shape)
         return out.at[rows, self.cols].add(self.vals)
 
 
@@ -270,19 +274,19 @@ def dia_spmm(A: DIA, X: jnp.ndarray) -> jnp.ndarray:
 
 
 def ell_spmv(A: ELL, x: jnp.ndarray) -> jnp.ndarray:
-    # gather: (n, r) then weighted row-sum
+    # gather: (r, n) then weighted slot-sum
     gathered = x[A.cols]
-    return jnp.sum(A.vals * gathered, axis=1)
+    return jnp.sum(A.vals * gathered, axis=0)
 
 
 def ell_spmm(A: ELL, X: jnp.ndarray) -> jnp.ndarray:
-    # Scan over row-width to avoid materialising an (n, r, m) intermediate.
+    # Scan over row-width to avoid materialising an (r, n, m) intermediate.
     def body(acc, rv):
         cols_r, vals_r = rv
         return acc + vals_r[:, None] * X[cols_r], None
 
     init = jnp.zeros((A.shape[0], X.shape[1]), jnp.result_type(A.vals, X))
-    acc, _ = jax.lax.scan(body, init, (A.cols.T, A.vals.T))
+    acc, _ = jax.lax.scan(body, init, (A.cols, A.vals))
     return acc
 
 
@@ -335,13 +339,13 @@ def ell_from_scipy(A, dtype=None) -> ELL:
     n, m = A.shape
     widths = np.diff(A.indptr)
     r = max(int(widths.max()), 1)
-    cols = np.zeros((n, r), np.int32)
-    vals = np.zeros((n, r), A.dtype)
+    cols = np.zeros((r, n), np.int32)
+    vals = np.zeros((r, n), A.dtype)
     for i in range(n):
         lo, hi = A.indptr[i], A.indptr[i + 1]
         w = hi - lo
-        cols[i, :w] = A.indices[lo:hi]
-        vals[i, :w] = A.data[lo:hi]
+        cols[:w, i] = A.indices[lo:hi]
+        vals[:w, i] = A.data[lo:hi]
     dtype = dtype or vals.dtype
     return ELL(jnp.asarray(cols), jnp.asarray(vals, dtype), (n, m))
 

@@ -52,7 +52,8 @@ def shard_matrix(A, mesh: Mesh):
             A, data=jax.device_put(A.data, sh), engine="xla"
         )
     if isinstance(A, ELL):
-        sh = NamedSharding(mesh, P(ROWS, None))
+        # transposed (r, n) layout: the row dimension is axis 1
+        sh = NamedSharding(mesh, P(None, ROWS))
         return dataclasses.replace(
             A,
             cols=jax.device_put(A.cols, sh),

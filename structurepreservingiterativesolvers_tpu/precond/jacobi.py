@@ -31,9 +31,9 @@ def diagonal(A) -> jnp.ndarray:
         return jnp.zeros(A.shape[0], A.dtype)
     if isinstance(A, ELL):
         n = A.shape[0]
-        rows = jnp.arange(n)[:, None]
+        rows = jnp.arange(n)[None, :]  # (r, n) transposed layout
         hit = (A.cols == rows) & (A.vals != 0)
-        return jnp.sum(jnp.where(hit, A.vals, 0.0), axis=1)
+        return jnp.sum(jnp.where(hit, A.vals, 0.0), axis=0)
     return jnp.diagonal(A)
 
 

@@ -235,6 +235,15 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             if prototypical:
                 bufs = increment(bufs)
                 started_new = jnp.bool_(True)
+            elif loop == "while":
+                # two-phase mode: the one-time catch-up ran BETWEEN phase 1
+                # and this loop (see below) — every gated iteration here
+                # only folds in its fresh basis vector.  Keeping the batched
+                # catch-up inside the loop body put its (k, n)-sized dd
+                # temporaries into the while-loop's compile-time footprint
+                # (23.6 GB HBM at heat M=2048).
+                bufs = lax.cond(gate, increment, lambda bs: bs, bufs)
+                started_new = started | gate
             else:
                 bufs = lax.cond(
                     gate,
@@ -419,9 +428,20 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                     A, prefunc, b, x0, st0, beta, res0, xs0, k, tol, contol,
                     ortho, true_residual, history,
                 )
+                # one-time batched constraint catch-up over the phase-1
+                # basis, OUTSIDE the solver loop: rows beyond j1 are zero in
+                # Z so the reduction is exact for any prefix, and the full
+                # loop below only folds in fresh columns (increment).  Also
+                # keeps the catch-up's (k, n) dd temporaries out of the
+                # while-loop's compile-time memory footprint.
+                bufs1 = tuple(
+                    catchup_buffers(c, bf, st1.Z, x0, x0_zero=x0_zero,
+                                    dd_reduce=mixed)
+                    for c, bf in zip(quad_cons, bufs0)
+                )
                 init = (
                     st1, j1, x1, yk1, res1, r1, jnp.int32(_SAFETY_NONE),
-                    jnp.bool_(False), bufs0, jnp.int32(0), brk1, brk1,
+                    jnp.bool_(False), bufs1, jnp.int32(0), brk1, brk1,
                     jnp.asarray(jnp.inf, dt), jnp.int32(0), jnp.int32(0),
                     lam0_c, Kinv0_c, jnp.bool_(False), xs1,
                 )
