@@ -256,6 +256,14 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             # --- coefficient solve ---------------------------------------
             def constrained(_):
                 y_fallback = lsq_coeffs(st, j) if y_unc is None else y_unc
+                if m == 0:
+                    # no constraints: the "constrained" solve IS the LSQ and
+                    # the latch is vacuously satisfied (the reference with an
+                    # empty conlist crashes its own checker on max([]) and
+                    # spins to k via the except path — a quirk, not a spec)
+                    return (y_fallback, jnp.int32(_SAFETY_OK),
+                            jnp.asarray(0.0, dt), jnp.int32(0),
+                            jnp.int32(0), lamc, Kinvc, haveK)
                 warm = yk if true_residual or history else jnp.where(
                     started, yk, y_fallback
                 )

@@ -55,3 +55,20 @@ def test_f32_storage_warm_start_dd_t0(sys_):
     assert abs(float(inv["energy"] - s32.e0)) < 1e-3
     # the certified (reduced, f64) deviation is far tighter
     assert info["deviation"] < 1e-8
+
+
+def test_cgmres_without_constraints_degenerates_to_gmres():
+    """m=0 must not crash (the far-branch machinery stacks per-constraint
+    evaluations) and must behave like plain GMRES."""
+    import numpy as np
+
+    from structurepreservingiterativesolvers_tpu.models import heat
+    from structurepreservingiterativesolvers_tpu.solvers import cgmres, gmres
+
+    s = heat.linforms(M=24)
+    xc, ic = cgmres(s.A, s.b, k=30, tol=1e-9, constraints=())
+    xg, ig = gmres(s.A, s.b, k=30, tol=1e-9)
+    assert ic["steps"] == ig["steps"]
+    np.testing.assert_allclose(
+        np.asarray(xc), np.asarray(xg), rtol=1e-10, atol=1e-12
+    )
