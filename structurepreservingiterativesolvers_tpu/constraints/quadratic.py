@@ -291,12 +291,27 @@ def catchup_buffers(
             if not x0_zero:
                 w = _dd_matvec(con.M, _dd.from_f32(x0.astype(jnp.float32)))
                 t1_dd = _dd.add(t1_dd, _dd_rows_dot(Z, w))
-            # T2[i, j] = ½ z_i · u_j — one (k, n) dd pass per row via lax.map
-            # (a full vmap would materialise a (k, k, n) intermediate)
+            # T2[i, j] = ½ z_i · u_j — chunked map: c rows per iteration
+            # reads U once per chunk instead of once per row (4× faster than
+            # row-at-a-time on TPU, scripts/tpu_probe27.py) while keeping
+            # the intermediate at (c, k, n) instead of vmap's (k, k, n)
+            k_ = Z.shape[0]
+            c = 3
+            kp = ((k_ + c - 1) // c) * c
+            Zp = jnp.pad(Z, ((0, kp - k_), (0, 0))).reshape(kp // c, c, -1)
             rows = lax.map(
-                lambda zrow: _dd.dd_sum(_dd.mul_f32(U, zrow), axis=-1), Z
-            )
-            T2 = 0.5 * _dd.to_f64(rows).astype(cdtype)
+                lambda zc: _dd.dd_sum(
+                    _dd.mul_f32(
+                        _dd.DD(U.hi[None], U.lo[None]), zc[:, None, :]
+                    ),
+                    axis=-1,
+                ),
+                Zp,
+            )  # (kp/c, c, k) dd
+            T2 = 0.5 * _dd.to_f64(
+                _dd.DD(rows.hi.reshape(kp, k_)[:k_],
+                       rows.lo.reshape(kp, k_)[:k_])
+            ).astype(cdtype)
         t1 = _dd.to_f64(t1_dd).astype(cdtype)
         return ReducedBuffers(t0=buf.t0, t1=t1, T2=T2)
     Zc = Z.astype(cdtype)

@@ -306,9 +306,9 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 e1 = (jnp.arange(k + 1) == 0).astype(cdtype)
                 Hc = st.H.astype(cdtype)
                 res_kkt = jnp.linalg.norm(beta.astype(cdtype) * e1 - Hc @ kkt.y)
-                res_unc = jnp.linalg.norm(
-                    beta.astype(cdtype) * e1 - Hc @ y_fallback.astype(cdtype)
-                )
+                # the unconstrained LSQ residual is the Givens estimate the
+                # Arnoldi state already maintains — no extra matvec
+                res_unc = lsq_residual_estimate(st, j).astype(cdtype)
                 # a far point is one whose residual exceeds the INITIAL
                 # residual — the constrained solve made the iterate worse
                 # than x0 (observed: 471 vs β=0.43 on lkdvRK).  The
