@@ -264,13 +264,29 @@ def _apply_strips(S: Stencil, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         bot = bb if bot is None else bot + bb
 
     X = x.reshape(R, C)
+    # The strided column reads of X are the strips cost floor (~10-20 µs per
+    # distinct column on v5e — stride-4C-byte DMAs).  The needed columns
+    # cluster into contiguous runs near 0 and C-1 ({0,1} and {C-2,C-1} for a
+    # 9-point stencil), so slice each run ONCE and index columns out of the
+    # resident slab: 2 DMAs instead of 4-6.
+    rems = sorted({divmod(base + off, C)[1] for off in offs for base in (0, C - 1)})
+    cols = {}
+    run_start = prev = rems[0]
+    for rem in rems[1:] + [None]:
+        if rem is not None and rem == prev + 1:
+            prev = rem
+            continue
+        slab = lax.slice(X, (0, run_start), (R, prev + 1))
+        for j in range(run_start, prev + 1):
+            cols[j] = slab[:, j - run_start]
+        if rem is not None:
+            run_start = prev = rem
     lcorr = rcorr = None
     for d, off in enumerate(offs):
         # rows r·C + base read x[r·C + base + off] = X[r + q, rem]
         for base, vals, acc in ((0, S.left_vals, "l"), (C - 1, S.right_vals, "r")):
             q, rem = divmod(base + off, C)
-            col = lax.slice(X, (0, rem), (R, rem + 1))[:, 0]
-            term = vals[d].astype(dt) * _shift_small(col, q)
+            term = vals[d].astype(dt) * _shift_small(cols[rem], q)
             if acc == "l":
                 lcorr = term if lcorr is None else lcorr + term
             else:

@@ -100,6 +100,20 @@ def test_spmm_matches_dia(R, C):
     )
 
 
+def test_spmv_noncontiguous_column_runs():
+    # A wide stencil whose left/right corrections read X columns from
+    # MULTIPLE non-adjacent contiguous runs ({0,1,2} and {C-3..C-1} here):
+    # exercises the run-grouped slab slicing in _apply_strips.
+    R, C = 12, 19
+    A = _grid_dia(R, C,
+                  offsets=(-2 * C, -C - 2, -C, -1, 0, 1, C, C + 2, 2 * C))
+    S = maybe_stencil(A)
+    assert isinstance(S, Stencil) and S.grid_c == C
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(R * C))
+    np.testing.assert_allclose(np.asarray(S @ x), np.asarray(A @ x),
+                               rtol=1e-13, atol=1e-12)
+
+
 def test_all_constant_has_no_correction():
     # periodic 1-D constant stencil: every row identical, no strips needed
     n = 512
