@@ -38,7 +38,7 @@ def main():
     print(f"assembly {time.perf_counter()-t0:.0f}s n={s.b.shape[0]}",
           flush=True)
     t0 = time.perf_counter()
-    pre = amg(s.A_csr)
+    pre = amg(s.A_csr, dtype=s.b.dtype)
     print(f"amg setup {time.perf_counter()-t0:.0f}s "
           f"levels={len(pre.levels)}", flush=True)
     dt = s.b.dtype

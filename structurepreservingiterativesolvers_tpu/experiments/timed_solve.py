@@ -34,7 +34,10 @@ def default_pre_builder(problem: str):
     if problem == "heat":
         from ..precond.amg import amg
 
-        return lambda system: amg(system.A_csr)
+        # dtype MUST follow the system (f32 on TPU): the host A_csr is f64
+        # and an f64 hierarchy runs every V-cycle op in emulated double on
+        # TPU — ~2 s/iteration at M=2048 vs tens of ms (round-3 verdict #1)
+        return lambda system: amg(system.A_csr, dtype=system.b.dtype)
     if problem == "swe":
         return lambda system: _precond.neumann(system.A, degree=2)
     if problem.lower() == "lkdvrk":
