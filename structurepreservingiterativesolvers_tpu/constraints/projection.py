@@ -1,0 +1,132 @@
+"""Discrete invariant projection — snap an assembled f32 iterate onto the
+constraint manifold.
+
+Why this exists: the CGMRES endgame enforces the *reduced* constraints
+``g(y) = t0 + t1·y + yᵀT2y`` to ~1e-12 in (dd-accurate) f64 coefficient
+space, but the returned iterate is the f32 assembly ``x = x0 + Zᵀy`` — and
+on invariants of scale ~1e4 (swe energy e0 ≈ 2.9e4, models/swe.py) the f32
+assembly rounding alone re-introduces deviations of
+``~√n·eps32·rms(∂g/∂x_i · x_i)`` ≈ 1e-4..1e-3 absolute.  The round-3 swe
+sweep's "deviations stuck at 1e-4" was exactly this gap: reduced-space
+deviation 9.6e-13, assembled-iterate deviation 1e-3.
+
+The fix is a classic tool of geometric integration — post-step projection
+onto the invariant manifold — made f32-representability-aware:
+
+1. **Dense Newton stage**: dd-evaluate the true deviations g_c(x) at the
+   assembled x (``dd_constraint_value`` — exact to ~2⁻⁴⁸), then take the
+   least-norm Newton step  x ← x − Dᵀ(DDᵀ)⁻¹ g  with D the constraint
+   Jacobian (one SpMV per quadratic constraint).  One pass lands at the
+   √n-random re-rounding floor of the *update* (the correction is
+   roundoff-sized, so each component moves by ≤ ~½ulp).
+2. **Windowed trim stage**: the same Newton step restricted to a small
+   static window of components — re-rounding noise scales as √window
+   instead of √n, buying the last ~1-2 orders down to near-ulp deviation.
+
+Every stage is guarded: the candidate is dd-re-evaluated and kept only if
+the worst deviation decreased (where-select — no data-dependent control
+flow, and a degenerate window Gram matrix can never corrupt the iterate).
+The total displacement is O(deviation/‖∇g‖), orders below the solution
+error at the solver tolerance, so the residual is unaffected at tol scale.
+
+Replaces nothing in the reference — the reference runs f64 end-to-end
+(reference solvers.py:266-270 checks deviations against ctol=1e-12 directly);
+this module is what makes that check *meaningful* on f32 TPU storage.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..ops import dd as _dd
+from .quadratic import QuadraticConstraint, dd_constraint_value, dd_supported
+
+
+def snap_supported(cons: Sequence) -> bool:
+    """True if every constraint is quadratic with a dd-evaluable matrix."""
+    return all(
+        isinstance(c, QuadraticConstraint) and dd_supported(c.M) for c in cons
+    )
+
+
+def _deviations(cons, x) -> jnp.ndarray:
+    """(m,) f64 true deviations at f32 x, dd-evaluated."""
+    xdd = _dd.from_f32(x)
+    return jnp.stack([dd_constraint_value(c, xdd) for c in cons])
+
+
+def _window_mask(D: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(n,) f32 mask selecting the width-``w`` aligned chunk on which every
+    constraint's gradient is strongest (max over chunks of the min over
+    constraints of the chunk gradient norm²) — a corner-of-domain fixed
+    window can be gradient-degenerate (e.g. the swe Gaussian's far corner,
+    where ρ ≈ 0 makes the energy gradient vanish)."""
+    n = D.shape[1]
+    nc = n // w
+    scores = jnp.min(
+        jnp.sum(D[:, : nc * w].reshape(D.shape[0], nc, w) ** 2, axis=-1),
+        axis=0,
+    )  # (nc,)
+    start = jnp.argmax(scores).astype(jnp.int32) * w
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return ((idx >= start) & (idx < start + w)).astype(D.dtype)
+
+
+def _newton_step(D, x, g, window: int = 0):
+    """Least-norm Newton candidate: x − Dᵀ(DDᵀ+λI)⁻¹ g, optionally with D
+    restricted to the strongest aligned window of ``window`` components."""
+    from ..solvers.kkt import solve_dense
+
+    if window:
+        D = D * _window_mask(D, window)[None, :]
+    # Gram in f32 (an f64 cast would make this an n-sized emulated-f64
+    # matmul on TPU); Newton only needs ~1e-3 relative accuracy in G —
+    # the dd re-evaluation of g is what certifies the result
+    G = (D @ D.T).astype(jnp.float64)  # (m, m) tiny Gram
+    # Tikhonov floor keeps a rank-deficient window from producing a huge
+    # step (the accept-guard would reject it, but NaN/inf must never form)
+    lam = 1e-12 * jnp.maximum(jnp.trace(G), 1e-30)
+    alpha = solve_dense(G + lam * jnp.eye(G.shape[0], dtype=G.dtype), -g)
+    # cast the (roundoff-sized) coefficients to f32 BEFORE the n-sized work:
+    # an f64 α would promote the axpy to emulated f64 on TPU
+    return x + alpha.astype(x.dtype) @ D
+
+
+# Shrinking-window ladder (measured, swe M=64..256 f32): the dense stage
+# (0) catches any above-roundoff deviation but is a no-op at the floor —
+# its per-component update is sub-ulp and rounds away; each narrower window
+# concentrates the correction in fewer components (per-component update ≫
+# ulp) while its re-rounding noise shrinks as √w, landing at ~2e-9 absolute
+# (≈7e-14 of the swe energy scale) by w=8.
+_LADDER = (0, 2048, 512, 128, 32, 8)
+
+
+def snap(x: jnp.ndarray, cons: Sequence[QuadraticConstraint],
+         windows: Tuple[int, ...] = _LADDER):
+    """Project f32 ``x`` onto the constraint manifold.  Traceable; returns
+    ``(x_snapped, deviations)`` with deviations the certified (dd) f64
+    per-constraint values at the RETURNED iterate.
+
+    The constraint Jacobian is computed ONCE (m SpMVs) and reused across
+    stages: snap corrections are roundoff-sized, so the gradient of a
+    quadratic constraint moves by O(eps) relative — irrelevant to the
+    Newton direction, and the accept-guard re-certifies every stage with a
+    fresh dd evaluation anyway."""
+    m = len(cons)
+    if m == 0:
+        return x, jnp.zeros((0,), jnp.float64)
+    g = _deviations(cons, x)
+    D = jnp.stack([c.grad(x) for c in cons])  # (m, n) f32
+    n = x.shape[0]
+    for window in windows:
+        if window >= n:
+            continue
+        x_new = _newton_step(D, x, g, window)
+        g_new = _deviations(cons, x_new)
+        better = (jnp.max(jnp.abs(g_new)) < jnp.max(jnp.abs(g))) \
+            & jnp.all(jnp.isfinite(g_new))
+        x = jnp.where(better, x_new, x)
+        g = jnp.where(better, g_new, g)
+    return x, g

@@ -39,7 +39,13 @@ def default_pre_builder(problem: str):
         # TPU — ~2 s/iteration at M=2048 vs tens of ms (round-3 verdict #1)
         return lambda system: amg(system.A_csr, dtype=system.b.dtype)
     if problem == "swe":
-        return lambda system: _precond.neumann(system.A, degree=2)
+        # shifted-skew polynomial inverse (see SkewNormalChebyshev): the
+        # truncated Neumann series used through round 3 DIVERGES once
+        # ρ(dt·S/2) > 1 (M ≳ 283 on the reference grid) — the round-3 sweep's
+        # swe rows never brought the residual under contol·tol and the
+        # constrained endgame only fired at the forced final iteration
+        return lambda system: _precond.skew_normal_chebyshev(
+            system.A, a=1.0 / system.prob.dt)
     if problem.lower() == "lkdvrk":
         from ..models import lkdvrk
 
@@ -85,11 +91,23 @@ def time_cgmres(
     tol: float = 1e-7,
     k: int = 20,
     pre_builder: Optional[Callable] = None,
+    tol_mode: str = "abs",
     **params,
 ):
+    """One row of the sweep.  ``tol_mode='rhs'`` scales ``tol`` by ‖b‖ —
+    the reference runs f64 where its absolute tol=1e-7 is attainable
+    (swe/TimedSolve.py:92); on f32 storage the same absolute value sits
+    orders below the attainable residual floor (‖b‖ ~ 2e4 at swe M=512 →
+    relative 5e-12), so an absolute-tol row can never terminate with
+    safety=True.  rhs-relative tol expresses the same convergence semantics
+    at f32-attainable levels and is annotated in the table."""
     model = get_model(problem)
     system = model.linforms(M=M, degree=degree, **params)
     x0 = jnp.zeros_like(system.b)
+    if tol_mode == "rhs":
+        tol = tol * float(np.linalg.norm(np.asarray(system.b)))
+    elif tol_mode != "abs":
+        raise ValueError(f"tol_mode must be 'abs' or 'rhs', got {tol_mode!r}")
 
     pre_builder = pre_builder or default_pre_builder(problem)
     start_pre = time()
@@ -150,6 +168,12 @@ def time_cgmres(
     out["compile_time"] = compile_time
     out["conservation"] = conservation
     out["invariant_names"] = names
+    # termination semantics (round-3 verdict: a reader must be able to SEE
+    # whether a row exited converged — reference solvers.py:296-297)
+    out["safety"] = geodict["safety"]
+    out["res_final"] = float(np.asarray(geodict["res"])[-1])
+    out["gmres_res_final"] = float(np.asarray(solvedict["res"])[-1])
+    out["tol_effective"] = tol
     return out
 
 
@@ -161,6 +185,7 @@ def timed_solve(
     k: int = 20,
     pre_builder: Optional[Callable] = None,
     to_markdown: bool = True,
+    tol_mode: str = "abs",
     **params,
 ):
     """Size sweep (reference: heat M=2⁴..2¹¹, swe M=2⁴..2⁹).  Returns the
@@ -173,10 +198,14 @@ def timed_solve(
     rows = []
     for M in sizes:
         out = time_cgmres(problem, M=M, degree=degree, tol=tol, k=k,
-                          pre_builder=pre_builder, **params)
+                          pre_builder=pre_builder, tol_mode=tol_mode, **params)
         con = out["conservation"]
         row = {
             "M": M,
+            "safety": out["safety"],
+            "CGMRES final residual": out["res_final"],
+            "GMRES final residual": out["gmres_res_final"],
+            "GMRES iterations": out["gmres_steps"],
             "Preconditioning time": out["time_pre"],
             "GMRES run time": out["time_gmres"],
             "CGMRES run time": out["runtime"],
@@ -198,7 +227,8 @@ def timed_solve(
     if to_markdown:
         fmt = df.copy()
         for col in fmt.columns:
-            if "time" in col.lower() or "Gain" in col or "deviation" in col:
+            if ("time" in col.lower() or "Gain" in col or "deviation" in col
+                    or "residual" in col):
                 fmt[col] = fmt[col].map(lambda v: f"{v:.2e}")
         print(fmt.to_markdown(index=False))
         if any(r.get(f"{nm} floor-dominated")

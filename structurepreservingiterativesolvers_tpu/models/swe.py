@@ -136,6 +136,27 @@ class _EnergyDiag:
         parts = jnp.split(x, 3, axis=0)
         return jnp.concatenate([s * p for s, p in zip(self.scales, parts)], axis=0)
 
+    def dd_matvec(self, x):
+        """Double-f32 apply (constraints/quadratic.py::_dd_matvec protocol).
+
+        Without this the dd machinery is bypassed for the swe energy
+        constraint entirely — the endgame then enforces energy only to f32
+        evaluation noise (~1e-4 absolute at M=512), which is exactly the
+        round-3 sweep's 'deviations stuck at 1e-4'.  The scales are static
+        Python floats, exactly split per scalar."""
+        from ..ops import dd as _dd
+
+        his = jnp.split(x.hi, 3, axis=-1)
+        los = jnp.split(x.lo, 3, axis=-1)
+        outs = [
+            _dd.mul(_dd.from_f64_scalar(float(s)), _dd.DD(h, l))
+            for s, h, l in zip(self.scales, his, los)
+        ]
+        return _dd.DD(
+            jnp.concatenate([o.hi for o in outs], axis=-1),
+            jnp.concatenate([o.lo for o in outs], axis=-1),
+        )
+
     def todense(self):
         diag = np.concatenate([np.full(self.n0, s) for s in self.scales])
         return jnp.asarray(np.diag(diag))

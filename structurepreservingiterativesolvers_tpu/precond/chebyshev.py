@@ -153,6 +153,97 @@ def neumann_composite(A, inner, degree: int = 2) -> NeumannComposite:
     return NeumannComposite(A=A, inner=inner, degree=int(degree))
 
 
+@_register
+@dataclasses.dataclass(frozen=True)
+class SkewNormalChebyshev:
+    """Polynomial approximate inverse for shifted-skew systems A = aI − K
+    with K skew(-adjoint in some inner product) — the swe midpoint operator
+    A = I/dt − S/2 (models/swe.py; reference swe/swe.py:61-66 builds the
+    same Crank–Nicolson form, and swe/TimedSolve.py:23-24 pairs it with
+    SuperLU spilu, which has no TPU-native analogue).
+
+    Identity: A·(2aI − A) = a²I − K² =: N is SPD in the skewness inner
+    product with spectrum ⊂ [a², a² + ρ(K)²] — a SHORT interval whose
+    condition κ = 1 + (ρ(K)/a)² stays O(1) across the reference sweep.  So
+
+        A⁻¹ = (2aI − A) · N⁻¹ ≈ (2aI − A) · q(N)
+
+    with q the degree-``degree`` Chebyshev approximation of the inverse on
+    [lmin, lmax].  Each N-apply is two A-SpMVs; the whole preconditioner is
+    a fixed chain of 2·degree+1 SpMVs — fully fused by XLA, no triangular
+    solves, M-robust where the truncated Neumann series diverges for
+    ρ(dt·S/2) > 1 (M ≳ 283 on the reference swe grid)."""
+
+    A: object
+    a: float  # static — the shift: A = aI − K
+    lmin: float  # static: lower spectral bound of N (≈ a²)
+    lmax: float  # static: upper bound (a² + ρ(K)² with margin)
+    degree: int  # static
+
+    _static = ("a", "lmin", "lmax", "degree")
+
+    def _N(self, v):
+        # N v = A (2a v − A v) = (a²I − K²) v
+        return self.A @ (2.0 * self.a * v - self.A @ v)
+
+    def __call__(self, v):
+        theta = 0.5 * (self.lmax + self.lmin)
+        delta = 0.5 * (self.lmax - self.lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        x = v / theta
+        r = v - self._N(x)
+        d = (2.0 * rho / delta) * r
+        for _ in range(self.degree - 1):
+            x = x + d
+            r = r - self._N(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+            rho = rho_new
+        u = x + d if self.degree >= 1 else x
+        return 2.0 * self.a * u - self.A @ u
+
+    def solve(self, v):
+        return self(v)
+
+
+def skew_normal_chebyshev(A, a: float, rho_k: Optional[float] = None,
+                          degree: Optional[int] = None,
+                          target: float = 0.03) -> SkewNormalChebyshev:
+    """Build a SkewNormalChebyshev for A = aI − K (K skew).
+
+    ``rho_k`` (spectral radius of K) is estimated by power iteration on
+    K = aI − A if not given.  ``degree=None`` auto-selects the smallest
+    degree whose Chebyshev min-max error on [a², a² + ρ(K)²] is ≤ ``target``
+    — preconditioned GMRES then contracts the residual by ~``target`` per
+    iteration regardless of M."""
+    import math
+
+    if rho_k is None:
+        n = A.shape[0]
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal(n), diagonal(A).dtype)
+        v = v / jnp.linalg.norm(v)
+        est = 1.0
+        for _ in range(30):
+            w = a * v - A @ v  # K v
+            est = float(jnp.linalg.norm(w))
+            v = w / est
+        rho_k = 1.05 * est
+    lmin = float(a) ** 2
+    lmax = lmin + float(rho_k) ** 2
+    if degree is None:
+        kappa = lmax / lmin
+        factor = (math.sqrt(kappa) - 1.0) / (math.sqrt(kappa) + 1.0)
+        if factor <= 0:
+            degree = 1
+        else:
+            degree = max(1, math.ceil(math.log(2.0 / target)
+                                      / math.log(1.0 / factor)))
+    return SkewNormalChebyshev(A=A, a=float(a), lmin=lmin, lmax=lmax,
+                               degree=int(degree))
+
+
 def power_bounds(A, iters: int = 30, seed: int = 0):
     """Estimate the spectral interval of D⁻¹A by power iteration.
     Returns (lmin_est, lmax_est) with safety margins."""

@@ -146,7 +146,8 @@ class CgmresResult(NamedTuple):
 @lru_cache(maxsize=64)
 def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 mixed: bool = False, kinds: tuple = (), ortho: str = "cgs2",
-                true_residual: bool = True, loop: str = "while"):
+                true_residual: bool = True, loop: str = "while",
+                snap: bool = False):
     # kinds[i] ∈ {'q','g'}: quadratic constraints use the incremental
     # reduction; general (callable) ones get a per-iteration autodiff Taylor
     # model (constraints/general.py).  Empty kinds ⇒ all quadratic.
@@ -484,6 +485,21 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             )
             x = y_fin @ st.Z + x0
             res = res.at[jnp.maximum(j - 1, 0)].set(jnp.linalg.norm(A @ x - b))
+        if snap and m > 0 and dt == jnp.float32:
+            # discrete invariant projection: the KKT certifies the REDUCED
+            # deviations in f64 coefficient space, but the f32 assembly
+            # x0 + Zᵀy re-introduces ~√n·eps32-scale true deviations (1e-3
+            # absolute at swe M=128 against a reduced 1e-12 — round-3 sweep).
+            # The snap dd-measures the assembled iterate and projects it to
+            # near-ulp deviation; ``deviation`` below then reports the
+            # certified value AT THE RETURNED x, not the reduced proxy.
+            from ..constraints.projection import snap as _snap
+
+            x_sn, g_sn = _snap(x, quad_cons)
+            ok = safety == _SAFETY_OK
+            x = jnp.where(ok, x_sn, x)
+            dev = jnp.where(
+                ok, jnp.max(jnp.abs(g_sn)).astype(dt), dev)
         return CgmresResult(
             x=x, res=res, steps=j, constrained_steps=ncon, safety=safety,
             deviation=dev, breakdown=brk, kkt_iters=kkt_it, fallbacks=nfb,
@@ -495,7 +511,7 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
 def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
          prototypical, name, mixed=None, ortho="cgs2", true_residual=True,
-         loop="while"):
+         loop="while", snap=None):
     b = jnp.asarray(b)
     if x0 is not None:
         x0 = jnp.asarray(x0, b.dtype)
@@ -511,9 +527,16 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
     kinds = tuple(
         "g" if isinstance(c, GeneralConstraint) else "q" for c in cons
     )
+    if snap is None:
+        # auto: the projection epilogue only matters (and is only valid)
+        # when the storage is f32 and every constraint is dd-evaluable
+        from ..constraints.projection import snap_supported
+
+        snap = (b.dtype == jnp.float32 and not prototypical and len(cons) > 0
+                and all(kk == "q" for kk in kinds) and snap_supported(cons))
     core = _build_core(int(k), len(cons), static_pre, bool(history),
                        prototypical, bool(mixed), kinds, ortho,
-                       bool(true_residual), loop)
+                       bool(true_residual), loop, bool(snap))
 
     tol_d = dscalar(tol, b.dtype)
     contol_d = dscalar(contol, b.dtype)
@@ -688,6 +711,7 @@ def cgmres(
     ortho: str = "cgs2",
     true_residual: bool = True,
     loop: str = "while",
+    snap: bool = None,
 ):
     """Constraint-satisfying FGMRES; returns ``(x, info)``.
 
@@ -695,10 +719,16 @@ def cgmres(
     ``name='cgmres'``, per-iteration true residuals ``res``, ``steps``, and a
     ``timings`` entry when ``timing=True`` — plus device-side extras
     (``deviation``, ``safety``, ``constrained_steps``).
+
+    ``snap`` (default auto: on for f32 storage with all-quadratic
+    constraints) runs the discrete invariant projection epilogue
+    (constraints/projection.py) so the RETURNED iterate — not just the
+    reduced coefficient model — certifies the constraints.
     """
     return _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history,
                 timing, prototypical=False, name="cgmres", mixed=mixed,
-                ortho=ortho, true_residual=true_residual, loop=loop)
+                ortho=ortho, true_residual=true_residual, loop=loop,
+                snap=snap)
 
 
 def cgmres_p(
