@@ -198,8 +198,11 @@ def fused_evolve(
         pre_op = None
 
     mixed = dt == jnp.float32 and jax.config.jax_enable_x64
+    from ..constraints.projection import snap_supported
+
+    snap = dt == jnp.float32 and len(cons0) > 0 and snap_supported(cons0)
     core = _build_core(int(k), len(cons0), static_pre, False, False, mixed,
-                       ("q",) * len(cons0), "cgs2", True, loop)
+                       ("q",) * len(cons0), "cgs2", True, loop, snap)
 
     from ..solvers.hostio import dscalar
 
