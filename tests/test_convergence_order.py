@@ -48,3 +48,14 @@ def test_cgmres_tracks_exact_error():
         ee = _final_err("Exact", N)
         ce = _final_err("CGMRES", N)
         assert ce < 1.05 * ee, (N, ee, ce)
+
+
+def test_reference_grid_point_order_resolving_tolerance():
+    """CI-sized version of docs/CONVERGENCE.md's order-resolving section:
+    at the reference's (degree=3, stages=2) grid point — the one where the
+    discretisation error dominates — a tolerance BELOW that error must make
+    CGMRES track Exact directly (measured 1.000 at reference scale M=400;
+    here M=100 for CI)."""
+    ee = _final_err("Exact", 10, M=100, degree=3, tstages=2, tol=1e-9)
+    ce = _final_err("CGMRES", 10, M=100, degree=3, tstages=2, tol=1e-9)
+    assert ce < 2.0 * ee, (ee, ce)
