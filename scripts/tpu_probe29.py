@@ -50,7 +50,8 @@ def main():
     s = heat.linforms(M=M, N=100)
     n = s.b.shape[0]
     dt = s.b.dtype
-    pre = amg(s.A_csr, dtype=dt)
+    pre_ell = amg(s.A_csr, dtype=dt)
+    pre = amg(s.A_csr, dtype=dt, grid=(M + 1, M + 1))  # structured (all-DIA)
     print(f"n={n} dtype={dt} levels={len(pre.levels)} "
           f"level sizes={[lv.dinv.shape[0] for lv in pre.levels]} "
           f"level types={[type(lv.A).__name__ for lv in pre.levels]} "
@@ -112,8 +113,10 @@ def main():
     t = chained(resid, v)
     report("true-residual block", t, (k * n + 4 * n) * 4)
     # --- V-cycle and parts --------------------------------------------------
+    t = chained(lambda x: pre_ell(x), v)
+    report("amg v-cycle (ELL greedy)", t)
     t = chained(lambda x: pre(x), v)
-    report("amg v-cycle (full)", t)
+    report("amg v-cycle (structured)", t)
     L0 = pre.levels[0]
     t = chained(lambda x: L0.A @ x, v)
     report("  level-0 A spmv", t, 4 * (nnz + 2 * n))

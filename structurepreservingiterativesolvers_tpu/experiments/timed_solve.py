@@ -36,8 +36,14 @@ def default_pre_builder(problem: str):
 
         # dtype MUST follow the system (f32 on TPU): the host A_csr is f64
         # and an f64 hierarchy runs every V-cycle op in emulated double on
-        # TPU — ~2 s/iteration at M=2048 vs tens of ms (round-3 verdict #1)
-        return lambda system: amg(system.A_csr, dtype=system.b.dtype)
+        # TPU — ~2 s/iteration at M=2048 vs tens of ms (round-3 verdict #1).
+        # grid=(M+1, M+1) ships the gather-free structured transfers
+        # (precond/amg.py::BoxProlong) — every level pure DIA.
+        def build(system):
+            C = system.prob.M + 1
+            return amg(system.A_csr, dtype=system.b.dtype, grid=(C, C))
+
+        return build
     if problem == "swe":
         # shifted-skew polynomial inverse (see SkewNormalChebyshev): the
         # truncated Neumann series used through round 3 DIVERGES once
