@@ -177,9 +177,11 @@ def main():
     # and the run degenerates to a fixed-k sweep.
     from structurepreservingiterativesolvers_tpu.precond.amg import amg
 
-    s2 = heat.linforms(M=256 if on_accel else 128, N=100)
+    M2 = 256 if on_accel else 128
+    s2 = heat.linforms(M=M2, N=100)
     cons = tuple(s2.constraints())
-    pre = amg(s2.A_csr, dtype=b.dtype)
+    # structured (gather-free, all-DIA) hierarchy — the production build
+    pre = amg(s2.A_csr, dtype=b.dtype, grid=(M2 + 1, M2 + 1))
     xg, gi = gmres(s2.A, s2.b, k=40, tol=1e-6, pre=pre)
 
     # chained TTS: REPS dependent full solves inside one program (per-solve
@@ -191,7 +193,8 @@ def main():
 
     dt2 = s2.b.dtype
     core = _cg_core(40, len(cons), None, False, False, dt2 == jnp.float32,
-                    ("q",) * len(cons), "cgs2", True, "while")
+                    ("q",) * len(cons), "cgs2", True, "while",
+                    dt2 == jnp.float32)  # snap: production configuration
     tol_d = dscalar(1e-6, dt2)
     contol_d = dscalar(10.0, dt2)
     ctol_d = dscalar(1e-12, dt2)
@@ -208,6 +211,37 @@ def main():
 
     t_cg, _ = _chained_time(make_cg_chain, reps_inner=5 if on_accel else 2,
                             reps_outer=3)
+
+    # preconditioned-iteration throughput at the headline size (round-3
+    # verdict #7: report the ITERATION, not just the bare SpMV): the lean
+    # phase-1 GMRES loop (AMG apply + SpMV + CGS2 + Givens + true residual)
+    # at M=1024, chained solves inside one program / measured iterations
+    from structurepreservingiterativesolvers_tpu.solvers.cgmres import (
+        _build_phase1,
+    )
+
+    pre_big = amg(sys_.A_csr, dtype=b.dtype,
+                  grid=(M + 1, M + 1))
+    kp = 20
+    p1 = _build_phase1(kp, None, "cgs2", True)
+    tolp = dscalar(1e-7, b.dtype)
+    contolp = dscalar(10.0, b.dtype)
+    _, j1, _ = p1(A, b, None, tolp, contolp, pre_big)
+    j1h = max(int(j1), 1)
+
+    def make_p1_chain(reps):
+        @jax.jit
+        def chain(b2):
+            def body(i, acc):
+                Z, j, r = p1(A, b2 * (1.0 + 1e-12 * acc), None, tolp,
+                             contolp, pre_big)
+                return acc + 1e-20 * r.astype(acc.dtype)
+            return lax.fori_loop(0, reps, body, jnp.zeros((), b2.dtype))
+        return lambda: chain(b).block_until_ready()
+
+    t_p1, _ = _chained_time(make_p1_chain, reps_inner=5 if on_accel else 2,
+                            reps_outer=3)
+    preconditioned_iter_s = t_p1 / j1h
     xc, ci = cgmres(s2.A, s2.b, k=40, tol=1e-6, constraints=cons, pre=pre)
     # conservation gains through the dd/f64 certificate path — f32
     # compute_invariants evaluation noise sits orders above real deviations
@@ -250,6 +284,8 @@ def main():
             "hbm_fraction_production": hbm_fraction_prod,
             "host_scipy_nnz_per_s": host_nnz_s,
             "cgmres_tts_s": t_cg,
+            "preconditioned_iter_s": preconditioned_iter_s,
+            "preconditioned_iters_measured": j1h,
             "cgmres_steps": ci["steps"],
             "cgmres_safety": ci["safety"],
             "cgmres_deviation": ci["deviation"],
