@@ -44,6 +44,8 @@ def main(argv=None):
     p.add_argument("--problem", default="heat", choices=["heat", "swe", "lkdv", "lkdvrk"])
     p.add_argument("--sizes", type=int, nargs="+", default=None)
     p.add_argument("--tol", type=float, default=1e-7)
+    p.add_argument("--tol-mode", default="abs", choices=["abs", "rhs"],
+                   help="rhs: scale tol by ||b|| (f32-attainable semantics)")
     p.add_argument("--k", type=int, default=20)
 
     p = sub.add_parser("sweep", help="lkdvRK convergence-order error sweep")
@@ -93,7 +95,8 @@ def main(argv=None):
     elif args.cmd == "timed":
         from .timed_solve import timed_solve
 
-        timed_solve(args.problem, sizes=args.sizes, tol=args.tol, k=args.k)
+        timed_solve(args.problem, sizes=args.sizes, tol=args.tol, k=args.k,
+                    tol_mode=args.tol_mode)
     elif args.cmd == "sweep":
         from .error_sweep import error_plot, run_sweep
 
