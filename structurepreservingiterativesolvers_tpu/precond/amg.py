@@ -72,8 +72,12 @@ class BoxRestrict:
         W = w.reshape(self.C1, self.C2)
         W = jnp.pad(W, ((0, self.b * self.Cc1 - self.C1),
                         (0, self.b * self.Cc2 - self.C2)))
-        return W.reshape(self.Cc1, self.b, self.Cc2, self.b).sum(
-            axis=(1, 3)).reshape(-1)
+        # two-step reduce, minor axis first: the fused (Cc1,b,Cc2,b)
+        # sum((1,3)) costs 0.76 ms at (1025,1025) vs 0.13 ms for this form
+        # (scripts/tpu_probe30.py — the 4-D reduce lowers to a transposing
+        # reduction ~100× off HBM bandwidth)
+        Wc = W.reshape(self.b * self.Cc1, self.Cc2, self.b).sum(-1)
+        return Wc.reshape(self.Cc1, self.b, self.Cc2).sum(1).reshape(-1)
 
 
 @_register

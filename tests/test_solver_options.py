@@ -53,8 +53,11 @@ def test_f32_storage_warm_start_dd_t0(sys_):
     # f32 iterate: invariants hold to the f32-iterate roundoff scale
     assert abs(float(inv["mass"] - s32.m0)) < 1e-3
     assert abs(float(inv["energy"] - s32.e0)) < 1e-3
-    # the certified (reduced, f64) deviation is far tighter
-    assert info["deviation"] < 1e-8
+    # info["deviation"] now certifies the ASSEMBLED returned iterate (dd
+    # evaluation + projection epilogue, constraints/projection.py) — at
+    # n=300 the f32 assembly floor is ~1e-6, far under the 1e-3 bound above
+    # but not the reduced-space 1e-12 the pre-round-4 field reported
+    assert info["deviation"] < 1e-5
 
 
 def test_cgmres_without_constraints_degenerates_to_gmres():
