@@ -194,7 +194,8 @@ def main():
     dt2 = s2.b.dtype
     core = _cg_core(40, len(cons), None, False, False, dt2 == jnp.float32,
                     ("q",) * len(cons), "cgs2", True, "while",
-                    dt2 == jnp.float32)  # snap: production configuration
+                    dt2 == jnp.float32,  # snap: production configuration
+                    dt2 == jnp.float32)  # f32_reduce (snap-first)
     tol_d = dscalar(1e-6, dt2)
     contol_d = dscalar(10.0, dt2)
     ctol_d = dscalar(1e-12, dt2)

@@ -76,10 +76,11 @@ def main():
             return chain
         return make
 
-    def build(mixed=True):
+    def build(mixed=True, snap=False, f32_reduce=False):
         cgm._build_core.cache_clear()
         return cgm._build_core(k, len(cons), None, False, False, mixed,
-                               ("q",) * len(cons), "cgs2", True, "while")
+                               ("q",) * len(cons), "cgs2", True, "while",
+                               snap, f32_reduce)
 
     # --- baseline ---------------------------------------------------------
     core = build()
@@ -90,6 +91,20 @@ def main():
           "kkt_iters", int(out.kkt_iters), flush=True)
     t_cg = chained(cg_chain_factory(core), s.b, 20)
     print(f"cgmres mixed:   {t_cg*1e3:.2f} ms", flush=True)
+
+    core_snap = build(snap=True)
+    t_cgs = chained(cg_chain_factory(core_snap), s.b, 20)
+    print(f"cgmres mixed+snap: {t_cgs*1e3:.2f} ms  (projection epilogue "
+          f"≈ {max(t_cgs - t_cg, 0.0)*1e3:.2f} ms)", flush=True)
+
+    core_sf = build(snap=True, f32_reduce=True)
+    out_sf = jax.jit(lambda: core_sf(s.A, s.b, None, cons, tol_d, contol_d,
+                                     ctol_d, pre))()
+    print("snap-first: steps", int(out_sf.steps), "ncon",
+          int(out_sf.constrained_steps), "safety", int(out_sf.safety),
+          "dev", float(out_sf.deviation), flush=True)
+    t_sf = chained(cg_chain_factory(core_sf), s.b, 20)
+    print(f"cgmres snap-first (f32 reduce): {t_sf*1e3:.2f} ms", flush=True)
 
     gcore = _g_core(k, None, False, True, "cgs2", "while")
 

@@ -94,13 +94,16 @@ def _newton_step(D, x, g, window: int = 0):
     return x + alpha.astype(x.dtype) @ D
 
 
-# Shrinking-window ladder (measured, swe M=64..256 f32): the dense stage
-# (0) catches any above-roundoff deviation but is a no-op at the floor —
-# its per-component update is sub-ulp and rounds away; each narrower window
+# Shrinking-window ladder (measured, swe M=64..256 f32): the dense stages
+# (0) catch any above-roundoff deviation but are a no-op at the floor —
+# their per-component update is sub-ulp and rounds away; TWO dense stages
+# because Newton on a quadratic constraint needs a second pass when the
+# entry deviation is large (observed: an f32-noisy KKT steer left 2.2e-2 on
+# lkdv; dense×1 → 4e-5, dense×2 → 3e-7).  Each narrower window then
 # concentrates the correction in fewer components (per-component update ≫
 # ulp) while its re-rounding noise shrinks as √w, landing at ~2e-9 absolute
 # (≈7e-14 of the swe energy scale) by w=8.
-_LADDER = (0, 2048, 512, 128, 32, 8)
+_LADDER = (0, 0, 2048, 512, 128, 32, 8)
 
 
 def snap(x: jnp.ndarray, cons: Sequence[QuadraticConstraint],

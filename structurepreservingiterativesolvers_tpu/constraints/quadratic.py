@@ -207,6 +207,7 @@ def update_buffers(
     j: jnp.ndarray,
     x0_zero: bool = False,
     dd_reduce: bool = False,
+    f32_reduce: bool = False,
 ) -> ReducedBuffers:
     """Fold the new basis vector Z[j] into the reduced constraint.
 
@@ -215,8 +216,32 @@ def update_buffers(
     every n-sized f64 op is emulated — the energy constraint's f64 SpMM was
     ~12 ms of a 27 ms solve (scripts/tpu_probe18.py); the dd formulation is
     pure f32 VPU work with ~2⁻⁴⁸ relative error, well inside the certificate
-    floor."""
+    floor.
+
+    ``f32_reduce`` (static): do the n-sized work in PLAIN f32 and only cast
+    the tiny results to the buffer dtype — the snap-first mode.  With the
+    projection epilogue certifying the RETURNED iterate in dd, the in-loop
+    reduced model only steers the KKT; its f32 evaluation noise
+    (~eps32·scale) sits below what the f32 assembly can represent anyway,
+    so dd precision mid-loop buys nothing (scripts/tpu_probe26/27: the dd
+    catch-up was ~1.3-2.5 ms of a 13.5 ms solve; the f32 SpMM+MXU form is
+    tens of µs).  The safety-latch floor must then use eps32
+    (solvers/cgmres.py)."""
     cdtype = buf.t1.dtype
+    if f32_reduce:
+        zj = Z[j]
+        t1j = jnp.zeros((), Z.dtype)
+        T2 = buf.T2
+        if con.v is not None:
+            t1j = t1j + jnp.dot(con.v.astype(Z.dtype), zj)
+        if con.M is not None:
+            u = (con.M @ zj).astype(Z.dtype)
+            if not x0_zero:
+                t1j = t1j + jnp.dot(u, x0.astype(Z.dtype))
+            w = (0.5 * (Z @ u)).astype(cdtype)  # (k,) f32 MXU, tiny cast
+            T2 = T2.at[j, :].set(w).at[:, j].set(w)
+        return ReducedBuffers(
+            t0=buf.t0, t1=buf.t1.at[j].set(t1j.astype(cdtype)), T2=T2)
     if _use_dd_reduction(con, Z, dd_reduce):
         from ..ops import dd as _dd
 
@@ -256,15 +281,30 @@ def catchup_buffers(
     x0: jnp.ndarray,
     x0_zero: bool = False,
     dd_reduce: bool = False,
+    f32_reduce: bool = False,
 ) -> ReducedBuffers:
     """Recompute the full reduction in one batched pass (phase-entry catch-up).
 
     Inactive rows of Z are zero, so the result is correct for any active
     prefix; cost is one SpMM + one (k,n)·(n,k) MXU matmul — or, with
     ``dd_reduce`` (see ``update_buffers``), a vmapped double-f32 SpMM plus a
-    ``lax.map`` of row-dot passes, avoiding all n-sized emulated-f64 work.
+    ``lax.map`` of row-dot passes, avoiding all n-sized emulated-f64 work —
+    or, with ``f32_reduce`` (the snap-first mode, see ``update_buffers``),
+    the plain f32 SpMM + MXU matmul with only the tiny results cast up.
     """
     cdtype = buf.t1.dtype
+    if f32_reduce:
+        t1 = jnp.zeros(Z.shape[0], Z.dtype)
+        T2f = jnp.zeros((Z.shape[0], Z.shape[0]), Z.dtype)
+        if con.v is not None:
+            t1 = t1 + Z @ con.v.astype(Z.dtype)
+        if con.M is not None:
+            U = (con.M @ Z.T).astype(Z.dtype)  # (n, k) f32 SpMM
+            if not x0_zero:
+                t1 = t1 + U.T @ x0.astype(Z.dtype)
+            T2f = 0.5 * (Z @ U)  # MXU
+        return ReducedBuffers(
+            t0=buf.t0, t1=t1.astype(cdtype), T2=T2f.astype(cdtype))
     if _use_dd_reduction(con, Z, dd_reduce):
         from ..ops import dd as _dd
 

@@ -202,7 +202,8 @@ def fused_evolve(
 
     snap = dt == jnp.float32 and len(cons0) > 0 and snap_supported(cons0)
     core = _build_core(int(k), len(cons0), static_pre, False, False, mixed,
-                       ("q",) * len(cons0), "cgs2", True, loop, snap)
+                       ("q",) * len(cons0), "cgs2", True, loop, snap,
+                       mixed and snap)
 
     from ..solvers.hostio import dscalar
 

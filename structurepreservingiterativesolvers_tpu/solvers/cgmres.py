@@ -147,7 +147,12 @@ class CgmresResult(NamedTuple):
 def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 mixed: bool = False, kinds: tuple = (), ortho: str = "cgs2",
                 true_residual: bool = True, loop: str = "while",
-                snap: bool = False):
+                snap: bool = False, f32_reduce: bool = False):
+    # snap-first economics: with the projection epilogue certifying the
+    # RETURNED iterate in dd, the in-loop reduction only steers the KKT —
+    # ``f32_reduce`` computes it as plain f32 SpMM/MXU work (the dd
+    # catch-up was the dominant CGMRES-over-GMRES overhead, probe26/27)
+    # and the safety-latch floor switches to eps32 accordingly.
     # kinds[i] ∈ {'q','g'}: quadratic constraints use the incremental
     # reduction; general (callable) ones get a per-iteration autodiff Taylor
     # model (constraints/general.py).  Empty kinds ⇒ all quadratic.
@@ -173,6 +178,11 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
         x0_zero = x0 is None
         if x0 is None:
             x0 = jnp.zeros_like(b)
+        # f32 reduction is only safe from a zero start: a warm start folds
+        # O(|x0|-scale) terms into t0/t1 whose cancellation f32 cannot hold
+        # (observed: 2.2e-2 true deviation on lkdv warm start vs 1.6e-6 dd);
+        # x0_zero is static, so this costs nothing at trace time
+        f32r = f32_reduce and x0_zero
         r0 = b - A @ x0
         beta = jnp.linalg.norm(r0)
         st0 = init_state(r0, beta, k)
@@ -222,14 +232,16 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
             def catchup(bs):
                 return tuple(
                     catchup_buffers(c, bf, st.Z, x0, x0_zero=x0_zero,
-                                    dd_reduce=mixed)
+                                    dd_reduce=mixed and not f32r,
+                                    f32_reduce=f32r)
                     for c, bf in zip(quad_cons, bs)
                 )
 
             def increment(bs):
                 return tuple(
                     update_buffers(c, bf, st.Z, x0, j, x0_zero=x0_zero,
-                                   dd_reduce=mixed)
+                                   dd_reduce=mixed and not f32r,
+                                   f32_reduce=f32r)
                     for c, bf in zip(quad_cons, bs)
                 )
 
@@ -369,7 +381,8 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 # tolerance trips it.  The tolerance is floored at the
                 # evaluation-roundoff scale of the constraint — feasibility
                 # below that is unverifiable in finite precision.
-                eps = jnp.finfo(cdtype).eps
+                eps = (jnp.finfo(jnp.float32).eps if f32r
+                       else jnp.finfo(cdtype).eps)
                 floor = jnp.maximum(ctol.astype(cdtype), 32.0 * eps * kkt.scale)
                 new_safety = jnp.where(
                     bad, safety,
@@ -445,7 +458,8 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 # while-loop's compile-time memory footprint.
                 bufs1 = tuple(
                     catchup_buffers(c, bf, st1.Z, x0, x0_zero=x0_zero,
-                                    dd_reduce=mixed)
+                                    dd_reduce=mixed and not f32r,
+                                    f32_reduce=f32r)
                     for c, bf in zip(quad_cons, bufs0)
                 )
                 init = (
@@ -534,9 +548,11 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
 
         snap = (b.dtype == jnp.float32 and not prototypical and len(cons) > 0
                 and all(kk == "q" for kk in kinds) and snap_supported(cons))
+    f32_reduce = bool(mixed) and bool(snap)
     core = _build_core(int(k), len(cons), static_pre, bool(history),
                        prototypical, bool(mixed), kinds, ortho,
-                       bool(true_residual), loop, bool(snap))
+                       bool(true_residual), loop, bool(snap),
+                       f32_reduce)
 
     tol_d = dscalar(tol, b.dtype)
     contol_d = dscalar(contol, b.dtype)
@@ -642,7 +658,8 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
                         )
                         out = tuple(
                             catchup_buffers(c, bf, Zi, x0c, x0_zero=x0_zero,
-                                            dd_reduce=mixed)
+                                            dd_reduce=mixed and not snap,
+                                            f32_reduce=mixed and snap)
                             for c, bf in zip(qc, bufs)
                         )
                         leaf = sum(
