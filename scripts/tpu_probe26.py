@@ -154,10 +154,10 @@ def main():
 
     real_up, real_cu = cgm.update_buffers, cgm.catchup_buffers
 
-    def up_nodd(c, bf, Z, x0, j, x0_zero=False, dd_reduce=True):
+    def up_nodd(c, bf, Z, x0, j, x0_zero=False, **kw):
         return real_up(c, bf, Z, x0, j, x0_zero=x0_zero, dd_reduce=False)
 
-    def cu_nodd(c, bf, Z, x0, x0_zero=False, dd_reduce=True):
+    def cu_nodd(c, bf, Z, x0, x0_zero=False, **kw):
         return real_cu(c, bf, Z, x0, x0_zero=x0_zero, dd_reduce=False)
 
     cgm.update_buffers, cgm.catchup_buffers = up_nodd, cu_nodd
