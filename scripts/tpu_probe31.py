@@ -100,8 +100,8 @@ def main():
     t = chained(lambda v: P.snap(v, cons)[0], x, reps=5)
     print(f"snap standalone:      {t*1e3:8.2f} ms", flush=True)
 
-    t = chained(lambda v: _dd.to_f64(
-        dd_constraint_value(cons[1], _dd.from_f32(v))).astype(dt), x, reps=20)
+    t = chained(lambda v: dd_constraint_value(
+        cons[1], _dd.from_f32(v)).astype(dt), x, reps=20)
     print(f"one dd energy eval:   {t*1e3:8.2f} ms", flush=True)
 
     rng = np.random.default_rng(1)
