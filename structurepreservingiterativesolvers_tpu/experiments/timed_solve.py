@@ -40,8 +40,10 @@ def default_pre_builder(problem: str):
         # grid=(M+1, M+1) ships the gather-free structured transfers
         # (precond/amg.py::BoxProlong) — every level pure DIA.
         def build(system):
+            # device operator in, device setup out (one jitted program —
+            # the round-4 host-scipy setup took 98-183 s at M=2048)
             C = system.prob.M + 1
-            return amg(system.A_csr, dtype=system.b.dtype, grid=(C, C))
+            return amg(system.A, dtype=system.b.dtype, grid=(C, C))
 
         return build
     if problem == "swe":

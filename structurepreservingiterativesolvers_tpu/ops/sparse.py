@@ -341,11 +341,12 @@ def ell_from_scipy(A, dtype=None) -> ELL:
     r = max(int(widths.max()), 1)
     cols = np.zeros((r, n), np.int32)
     vals = np.zeros((r, n), A.dtype)
-    for i in range(n):
-        lo, hi = A.indptr[i], A.indptr[i + 1]
-        w = hi - lo
-        cols[:w, i] = A.indices[lo:hi]
-        vals[:w, i] = A.data[lo:hi]
+    # vectorised slot assignment: entry t of the CSR stream lands in slot
+    # (t − indptr[row]) of its row
+    rows_per_nz = np.repeat(np.arange(n), widths)
+    slots = np.arange(A.nnz) - A.indptr[rows_per_nz]
+    cols[slots, rows_per_nz] = A.indices
+    vals[slots, rows_per_nz] = A.data
     dtype = dtype or vals.dtype
     return ELL(jnp.asarray(cols), jnp.asarray(vals, dtype), (n, m))
 
@@ -371,9 +372,9 @@ def dia_from_scipy(A, wrap: Optional[bool] = None, dtype=None) -> DIA:
     offs = wrapped if wrap else raw
     uniq = np.unique(offs)
     data = np.zeros((len(uniq), n), A.dtype)
-    pos = {off: d for d, off in enumerate(uniq)}
-    for r, off, v in zip(A.row, offs, A.data):
-        data[pos[off], r] += v
+    # vectorised scatter (a Python per-entry loop costs ~10 s at the heat
+    # M=2048 operator's 29M nnz and sat on the AMG-setup critical path)
+    np.add.at(data, (np.searchsorted(uniq, offs), A.row), A.data)
     dtype = dtype or data.dtype
     return DIA(
         jnp.asarray(data, dtype), tuple(int(o) for o in uniq), (n, m), bool(wrap)

@@ -104,7 +104,7 @@ def test_amg_structured_transfers_match_host_galerkin():
     M = 32
     s = heat.linforms(M=M)
     C = M + 1
-    pre = amg(s.A_csr, grid=(C, C))
+    pre = amg(s.A_csr, grid=(C, C), setup="host")
     assert all(isinstance(l.A, DIA) for l in pre.levels)
     assert isinstance(pre.levels[0].P, BoxProlong)
     assert isinstance(pre.levels[0].R, BoxRestrict)
@@ -168,3 +168,77 @@ def test_ras_overlap_beats_block_jacobi():
     _, rs = cgmres(s.A, s.b, k=60, tol=1e-6, constraints=s.constraints(), pre=pre_ras)
     assert rs["steps"] < bj["steps"]
     assert rs["safety"] is True
+
+
+def test_amg_device_setup_probing_exact():
+    """Device setup (one jitted program, no host SpGEMM): the coloring-probe
+    coarse operator must equal the dense Galerkin product of the SHIPPED
+    transfers exactly (same smoothers, so the only difference is roundoff)."""
+    import numpy as np
+
+    from structurepreservingiterativesolvers_tpu.precond.amg import amg
+
+    M = 32
+    s = heat.linforms(M=M)
+    C = M + 1
+    pre = amg(s.A, grid=(C, C))  # device-operator input → device setup
+    l0 = pre.levels[0]
+    A0 = np.asarray(l0.A.todense())
+    n = A0.shape[0]
+    SPd = np.asarray(l0.P.S.todense())
+    SRd = np.asarray(l0.R.S.todense())
+    idx = np.arange(n)
+    P0 = np.zeros((n, l0.P.Cc1 * l0.P.Cc2))
+    agg = (idx // C // 3) * l0.P.Cc2 + (idx % C // 3)
+    P0[idx, agg] = 1.0
+    Ac_ref = P0.T @ SRd @ A0 @ SPd @ P0
+    Ac_dev = np.asarray(pre.levels[1].A.todense())
+    err = np.abs(Ac_dev - Ac_ref).max() / np.abs(Ac_ref).max()
+    eps = float(np.finfo(np.asarray(s.b).dtype).eps)
+    assert err < 100 * eps, err
+
+
+def test_amg_device_setup_solver_quality():
+    """Device-built hierarchy must precondition as well as the host-built
+    one (same aggregation, same smoother form; only the ρ estimate differs)."""
+    from structurepreservingiterativesolvers_tpu.precond.amg import amg
+
+    M = 64
+    s = heat.linforms(M=M)
+    C = M + 1
+    pre_d = amg(s.A, grid=(C, C))
+    pre_h = amg(s.A_csr, grid=(C, C), setup="host")
+    _, d = gmres(s.A, s.b, k=30, tol=1e-8, pre=pre_d)
+    _, h = gmres(s.A, s.b, k=30, tol=1e-8, pre=pre_h)
+    assert d["res"][-1] < 1e-8
+    assert d["steps"] <= h["steps"] + 2
+
+    x, info = cgmres(s.A, s.b, k=30, tol=1e-8, constraints=s.constraints(),
+                     pre=pre_d)
+    assert info["safety"] is True
+
+
+def test_amg_device_setup_rejects_asymmetric():
+    """The structured transfers assume A = Aᵀ (Sᵣ = I−ω_s·A·D⁻¹ equals the
+    Galerkin Pᵀ only then); an asymmetric operator must be refused, not
+    silently shipped (advisor r4 #2)."""
+    import pytest
+    import scipy.sparse as sp
+
+    from structurepreservingiterativesolvers_tpu.precond.amg import (
+        _StructuredSetupError,
+        amg,
+    )
+
+    M = 32
+    s = heat.linforms(M=M)
+    C = M + 1
+    A_bad = sp.csr_matrix(s.A_csr, copy=True).tolil()
+    A_bad[5, 6] = 10.0 * A_bad[6, 5]  # break symmetry hard
+    A_bad = sp.csr_matrix(A_bad)
+    with pytest.raises(_StructuredSetupError):
+        amg(A_bad, grid=(C, C), setup="device")
+    # 'auto' falls back to the host greedy path and still works
+    pre = amg(A_bad, grid=(C, C), setup="auto")
+    _, info = gmres(s.A, s.b, k=30, tol=1e-8, pre=pre)
+    assert info["res"][-1] < 1e-8
