@@ -4,6 +4,7 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_constraint,
     shard_matrix,
+    shard_preconditioner,
     shard_system,
     shard_vector,
 )
