@@ -84,24 +84,28 @@ def main():
     tol_d, contol_d, ctol_d = (dscalar(1e-7, dt), dscalar(10.0, dt),
                                dscalar(1e-12, dt))
 
-    def chained(fn, x, reps=10, outer=3):
+    def chained(fn, x, *ops, reps=10, outer=3):
+        # big operands (A, pre, constraints) are passed as jit ARGUMENTS:
+        # closed-over arrays become HLO constants and the remote-compile
+        # request at M=2048 exceeds the tunnel's body limit (HTTP 413)
         @jax.jit
-        def chain(v0):
+        def chain(v0, ops):
             def body(i, acc):
-                out = fn(acc)
+                out = fn(acc, *ops)
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 return acc + 1e-20 * jnp.ravel(leaf)[:1].astype(acc.dtype)
             return lax.fori_loop(0, reps, body, v0)
-        chain(x).block_until_ready()
+        chain(x, ops).block_until_ready()
         ts = []
         for _ in range(outer):
             t1 = time.perf_counter()
-            chain(x).block_until_ready()
+            chain(x, ops).block_until_ready()
             ts.append(time.perf_counter() - t1)
         return float(np.median(ts)) / reps
 
     gcore = _g_core(k, None, False, True, "cgs2", "while")
-    t_g = chained(lambda b: gcore(s.A, b, None, tol_d, pre).x, s.b, reps=5)
+    t_g = chained(lambda b, A, pr: gcore(A, b, None, tol_d, pr).x,
+                  s.b, s.A, pre, reps=5)
     print(f"gmres core:           {t_g*1e3:8.2f} ms", flush=True)
 
     def build(m, snap, f32r):
@@ -115,17 +119,18 @@ def main():
     ):
         core = build(m, snap, f32r)
         cc = cons[:m]
-        t = chained(lambda b, core=core, cc=cc: core(
-            s.A, b, None, cc, tol_d, contol_d, ctol_d, pre).x, s.b, reps=5)
+        t = chained(lambda b, A, pr, cc, core=core: core(
+            A, b, None, cc, tol_d, contol_d, ctol_d, pr).x,
+            s.b, s.A, pre, cc, reps=5)
         print(f"{label:21s} {t*1e3:8.2f} ms", flush=True)
 
     x = s.z0 + 1e-4 * jnp.asarray(
         np.random.default_rng(0).standard_normal(s.b.shape[0]), dt)
-    t = chained(lambda v: P.snap(v, cons)[0], x, reps=5)
+    t = chained(lambda v, cc: P.snap(v, cc)[0], x, cons, reps=5)
     print(f"snap standalone:      {t*1e3:8.2f} ms", flush=True)
 
-    t = chained(lambda v: dd_constraint_value(
-        cons[1], _dd.from_f32(v)).astype(dt), x, reps=10)
+    t = chained(lambda v, c1: dd_constraint_value(
+        c1, _dd.from_f32(v)).astype(dt), x, cons[1], reps=10)
     print(f"one dd energy eval:   {t*1e3:8.2f} ms", flush=True)
 
     # single-dispatch walls for comparison with the TimedSolve method

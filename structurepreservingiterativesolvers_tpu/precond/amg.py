@@ -33,7 +33,8 @@ from __future__ import annotations
 
 import dataclasses
 import warnings
-from typing import List, Optional, Tuple
+from functools import lru_cache
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -330,6 +331,154 @@ def _grid_decompose(offsets, C2: int, rmax: int = 4):
     return out
 
 
+class _LevelMeta(NamedTuple):
+    C1: int
+    C2: int
+    Cc1: int
+    Cc2: int
+    offsets: tuple
+    rc: int
+    p: int
+    coffs2d: tuple
+    main: int
+
+
+@lru_cache(maxsize=32)
+def _setup_program(metas, coarse_offsets, coarse_main, box, rho_iters):
+    """Compiled hierarchy-setup program for one static level schedule.
+
+    Cached so repeated ``amg()`` calls on same-shaped systems (size sweeps,
+    Evolve steps) reuse the compiled executable — through the remote-compile
+    tunnel a recompile costs minutes."""
+
+    def _mv(data, offs, v):
+        y = jnp.zeros_like(v)
+        for d, off in enumerate(offs):
+            coef = data[d] if v.ndim == 1 else data[d][:, None]
+            y = y + coef * _shift(v, off, False)
+        return y
+
+    @jax.jit
+    def build(data0):
+        data = data0
+        shipped = []
+        sym_err = jnp.asarray(0.0, data0.dtype)
+        probe_errs = []
+        for mt in metas:
+            offs = mt.offsets
+            nlev = mt.C1 * mt.C2
+            p = mt.p
+            dinv = 1.0 / data[mt.main]
+            # symmetry check (the structured restriction Sᵣ = I−ω_s A D⁻¹
+            # equals the Galerkin Pᵀ only for symmetric A — advisor r4 #2)
+            pos = {o: i for i, o in enumerate(offs)}
+            scale = jnp.max(jnp.abs(data))
+            for o in offs:
+                if o > 0:
+                    upper = data[pos[o]]
+                    lower = (_shift(data[pos[-o]], o, False)
+                             if -o in pos else jnp.zeros_like(upper))
+                    sym_err = jnp.maximum(
+                        sym_err, jnp.max(jnp.abs(upper - lower)) / scale)
+            # ρ(D⁻¹A) by device power iteration (replaces the host
+            # _rho_estimate); deterministic pseudo-random start, max of the
+            # last 3 Rayleigh-style norm ratios with a 2% safety margin
+            i_idx = jnp.arange(nlev, dtype=data.dtype)
+            v = jnp.sin(i_idx * 12.9898) + 0.01
+            v = v / jnp.linalg.norm(v)
+
+            def pit(_, v):
+                w = dinv * _mv(data, offs, v)
+                return w / jnp.linalg.norm(w)
+
+            v = jax.lax.fori_loop(0, rho_iters - 3, pit, v)
+            rho = jnp.asarray(0.0, data.dtype)
+            for _ in range(3):
+                w = dinv * _mv(data, offs, v)
+                nw = jnp.linalg.norm(w)
+                rho = jnp.maximum(rho, nw)
+                v = w / nw
+            rho = rho * 1.02
+            cS = (2.0 / 3.0) / rho
+            eye = [1.0 if off == 0 else 0.0 for off in offs]
+            SP = jnp.stack([eye[d] - cS * dinv * data[d]
+                            for d in range(len(offs))])
+            SR = jnp.stack([eye[d] - cS * data[d] * _shift(dinv, off, False)
+                            for d, off in enumerate(offs)])
+            Sp = DIA(SP, offs, (nlev, nlev), False, engine="auto")
+            Sr = DIA(SR, offs, (nlev, nlev), False, engine="auto")
+            P_dev = BoxProlong(S=Sp, C1=mt.C1, C2=mt.C2, b=box,
+                               Cc1=mt.Cc1, Cc2=mt.Cc2)
+            R_dev = BoxRestrict(S=Sr, C1=mt.C1, C2=mt.C2, b=box,
+                                Cc1=mt.Cc1, Cc2=mt.Cc2)
+            C1_, C2_, Cc1_, Cc2_ = mt.C1, mt.C2, mt.Cc1, mt.Cc2
+            # --- coloring probes → coarse DIA bands ----------------------
+            # all p² probes run BATCHED as the trailing axis of one
+            # SpMM-style roll chain (the per-probe formulation traced ~9×
+            # the HLO and compiled in minutes through the remote tunnel)
+            ic = jnp.arange(Cc1_) % p
+            jc = jnp.arange(Cc2_) % p
+            pa = jnp.arange(p)
+            # E[(i,j), (a,c)] = 1 iff color(i,j) == (a,c); shape (nc, p²)
+            E = ((ic[:, None, None, None] == pa[None, None, :, None])
+                 & (jc[None, :, None, None] == pa[None, None, None, :]))
+            nc = Cc1_ * Cc2_
+            E = E.astype(data.dtype).reshape(nc, p * p)
+
+            def apply_RAP(Ecols):
+                # batched BoxProlong: coarse (nc, t) → fine (nlev, t)
+                t = Ecols.shape[1]
+                Ecg = Ecols.reshape(Cc1_, Cc2_, t)
+                F = jnp.repeat(jnp.repeat(Ecg, box, axis=0), box, axis=1)
+                F = F[:C1_, :C2_].reshape(nlev, t)
+                F = _mv(SP, offs, F)  # S·(P0 e) — _shift broadcasts axis 0
+                F = _mv(data, offs, F)  # A·
+                # batched BoxRestrict: Sᵣ then pad + box-sum
+                W = _mv(SR, offs, F).reshape(C1_, C2_, t)
+                W = jnp.pad(W, ((0, box * Cc1_ - C1_),
+                                (0, box * Cc2_ - C2_), (0, 0)))
+                Wc = W.reshape(box * Cc1_, Cc2_, box, t).sum(2)
+                return Wc.reshape(Cc1_, box, Cc2_, t).sum(1)
+
+            Y = apply_RAP(E)  # (Cc1, Cc2, p²)
+            ii = jnp.arange(Cc1_)[:, None]
+            jj = jnp.arange(Cc2_)[None, :]
+            newdata = []
+            for (di, dj) in mt.coffs2d:
+                # color of the (i+di, j+dj) neighbour, flattened probe index
+                sel = (jnp.mod(ii + di, p) * p + jnp.mod(jj + dj, p))
+                band = jnp.sum(
+                    Y * (sel[:, :, None] == jnp.arange(p * p)[None, None, :]),
+                    axis=2)
+                newdata.append(band.reshape(-1))
+            coffs = tuple(di * Cc2_ + dj for di, dj in mt.coffs2d)
+            newdata = jnp.stack(newdata)
+            # a-posteriori radius check: the extracted stencil must act like
+            # the composed operator on a generic vector
+            wtest = jnp.sin(jnp.arange(nc, dtype=data.dtype) * 7.13) + 0.3
+            y_true = apply_RAP(wtest[:, None]).reshape(-1)
+            y_band = _mv(newdata, coffs, wtest)
+            probe_errs.append(
+                jnp.max(jnp.abs(y_true - y_band))
+                / jnp.maximum(jnp.max(jnp.abs(y_true)), 1e-30))
+            shipped.append((data, dinv, SP, SR))
+            data = newdata
+        # --- coarsest level: dense inverse on device ---------------------
+        nC = data.shape[1]
+        rows = jnp.arange(nC)
+        dense = jnp.zeros((nC, nC), data.dtype)
+        for d, off in enumerate(coarse_offsets):
+            cols = rows + off
+            valid = (cols >= 0) & (cols < nC)
+            dense = dense.at[rows, jnp.clip(cols, 0, nC - 1)].add(
+                jnp.where(valid, data[d], 0.0))
+        cinv = jnp.linalg.inv(dense)
+        dinv_c = 1.0 / data[coarse_main]
+        return shipped, data, dinv_c, cinv, sym_err, tuple(probe_errs)
+
+    return build
+
+
 def _amg_device(A_dia: DIA, grid: Tuple[int, int], box: int = 3,
                 omega: float = 0.8, nu: int = 2, coarse_size: int = 200,
                 max_levels: int = 12, rho_iters: int = 25) -> AMG:
@@ -373,7 +522,7 @@ def _amg_device(A_dia: DIA, grid: Tuple[int, int], box: int = 3,
         cc1, cc2 = -(-c1 // box), -(-c2 // box)
         coffs2d = tuple((di, dj) for di in range(-rc, rc + 1)
                         for dj in range(-rc, rc + 1))
-        metas.append(dict(
+        metas.append(_LevelMeta(
             C1=c1, C2=c2, Cc1=cc1, Cc2=cc2, offsets=offsets, rc=rc, p=p,
             coffs2d=coffs2d, main=offsets.index(0),
         ))
@@ -384,113 +533,8 @@ def _amg_device(A_dia: DIA, grid: Tuple[int, int], box: int = 3,
             f"grid {grid} too small to coarsen (box={box})")
     coarse_offsets = offsets
     coarse_main = coarse_offsets.index(0)
-
-    def _mv(data, offs, v):
-        y = jnp.zeros_like(v)
-        for d, off in enumerate(offs):
-            y = y + data[d] * _shift(v, off, False)
-        return y
-
-    @jax.jit
-    def build(data0):
-        data = data0
-        shipped = []
-        sym_err = jnp.asarray(0.0, data0.dtype)
-        probe_errs = []
-        for mt in metas:
-            offs = mt["offsets"]
-            nlev = mt["C1"] * mt["C2"]
-            p = mt["p"]
-            dinv = 1.0 / data[mt["main"]]
-            # symmetry check (the structured restriction Sᵣ = I−ω_s A D⁻¹
-            # equals the Galerkin Pᵀ only for symmetric A — advisor r4 #2)
-            pos = {o: i for i, o in enumerate(offs)}
-            scale = jnp.max(jnp.abs(data))
-            for o in offs:
-                if o > 0:
-                    upper = data[pos[o]]
-                    lower = (_shift(data[pos[-o]], o, False)
-                             if -o in pos else jnp.zeros_like(upper))
-                    sym_err = jnp.maximum(
-                        sym_err, jnp.max(jnp.abs(upper - lower)) / scale)
-            # ρ(D⁻¹A) by device power iteration (replaces the host
-            # _rho_estimate); deterministic pseudo-random start, max of the
-            # last 3 Rayleigh-style norm ratios with a 2% safety margin
-            i_idx = jnp.arange(nlev, dtype=data.dtype)
-            v = jnp.sin(i_idx * 12.9898) + 0.01
-            v = v / jnp.linalg.norm(v)
-
-            def pit(_, v):
-                w = dinv * _mv(data, offs, v)
-                return w / jnp.linalg.norm(w)
-
-            v = jax.lax.fori_loop(0, rho_iters - 3, pit, v)
-            rho = jnp.asarray(0.0, data.dtype)
-            for _ in range(3):
-                w = dinv * _mv(data, offs, v)
-                nw = jnp.linalg.norm(w)
-                rho = jnp.maximum(rho, nw)
-                v = w / nw
-            rho = rho * 1.02
-            cS = (2.0 / 3.0) / rho
-            eye = [1.0 if off == 0 else 0.0 for off in offs]
-            SP = jnp.stack([eye[d] - cS * dinv * data[d]
-                            for d in range(len(offs))])
-            SR = jnp.stack([eye[d] - cS * data[d] * _shift(dinv, off, False)
-                            for d, off in enumerate(offs)])
-            Sp = DIA(SP, offs, (nlev, nlev), False, engine="auto")
-            Sr = DIA(SR, offs, (nlev, nlev), False, engine="auto")
-            P_dev = BoxProlong(S=Sp, C1=mt["C1"], C2=mt["C2"], b=box,
-                               Cc1=mt["Cc1"], Cc2=mt["Cc2"])
-            R_dev = BoxRestrict(S=Sr, C1=mt["C1"], C2=mt["C2"], b=box,
-                                Cc1=mt["Cc1"], Cc2=mt["Cc2"])
-            # --- coloring probes → coarse DIA bands ----------------------
-            ic = jnp.arange(mt["Cc1"]) % p
-            jc = jnp.arange(mt["Cc2"]) % p
-            Y = [[None] * p for _ in range(p)]
-            for a in range(p):
-                for c in range(p):
-                    e = ((ic[:, None] == a) & (jc[None, :] == c)).astype(
-                        data.dtype).reshape(-1)
-                    y = R_dev @ _mv(data, offs, P_dev @ e)
-                    Y[a][c] = y.reshape(mt["Cc1"], mt["Cc2"])
-            ii = jnp.arange(mt["Cc1"])[:, None]
-            jj = jnp.arange(mt["Cc2"])[None, :]
-            newdata = []
-            for (di, dj) in mt["coffs2d"]:
-                asel = jnp.mod(ii + di, p)
-                csel = jnp.mod(jj + dj, p)
-                band = jnp.zeros((mt["Cc1"], mt["Cc2"]), data.dtype)
-                for a in range(p):
-                    ra = asel == a
-                    for c in range(p):
-                        band = band + jnp.where(ra & (csel == c), Y[a][c], 0.0)
-                newdata.append(band.reshape(-1))
-            ncoarse = mt["Cc1"] * mt["Cc2"]
-            coffs = tuple(di * mt["Cc2"] + dj for di, dj in mt["coffs2d"])
-            newdata = jnp.stack(newdata)
-            # a-posteriori radius check: the extracted stencil must act like
-            # the composed operator on a generic vector
-            wtest = jnp.sin(jnp.arange(ncoarse, dtype=data.dtype) * 7.13) + 0.3
-            y_true = R_dev @ _mv(data, offs, P_dev @ wtest)
-            y_band = _mv(newdata, coffs, wtest)
-            probe_errs.append(
-                jnp.max(jnp.abs(y_true - y_band))
-                / jnp.maximum(jnp.max(jnp.abs(y_true)), 1e-30))
-            shipped.append((data, dinv, SP, SR))
-            data = newdata
-        # --- coarsest level: dense inverse on device ---------------------
-        nC = data.shape[1]
-        rows = jnp.arange(nC)
-        dense = jnp.zeros((nC, nC), data.dtype)
-        for d, off in enumerate(coarse_offsets):
-            cols = rows + off
-            valid = (cols >= 0) & (cols < nC)
-            dense = dense.at[rows, jnp.clip(cols, 0, nC - 1)].add(
-                jnp.where(valid, data[d], 0.0))
-        cinv = jnp.linalg.inv(dense)
-        dinv_c = 1.0 / data[coarse_main]
-        return shipped, data, dinv_c, cinv, sym_err, tuple(probe_errs)
+    build = _setup_program(tuple(metas), coarse_offsets, coarse_main,
+                           box, rho_iters)
 
     shipped, cdata, dinv_c, cinv, sym_err, probe_errs = build(A_dia.data)
 
@@ -509,16 +553,16 @@ def _amg_device(A_dia: DIA, grid: Tuple[int, int], box: int = 3,
 
     levels: List[_Level] = []
     for mt, (dat, dinv, SP, SR) in zip(metas, shipped):
-        offs = mt["offsets"]
-        nlev = mt["C1"] * mt["C2"]
+        offs = mt.offsets
+        nlev = mt.C1 * mt.C2
         Sp = DIA(SP, offs, (nlev, nlev), False, engine="auto")
         Sr = DIA(SR, offs, (nlev, nlev), False, engine="auto")
         levels.append(_Level(
             A=DIA(dat, offs, (nlev, nlev), False, engine="auto"),
-            P=BoxProlong(S=Sp, C1=mt["C1"], C2=mt["C2"], b=box,
-                         Cc1=mt["Cc1"], Cc2=mt["Cc2"]),
-            R=BoxRestrict(S=Sr, C1=mt["C1"], C2=mt["C2"], b=box,
-                          Cc1=mt["Cc1"], Cc2=mt["Cc2"]),
+            P=BoxProlong(S=Sp, C1=mt.C1, C2=mt.C2, b=box,
+                         Cc1=mt.Cc1, Cc2=mt.Cc2),
+            R=BoxRestrict(S=Sr, C1=mt.C1, C2=mt.C2, b=box,
+                          Cc1=mt.Cc1, Cc2=mt.Cc2),
             dinv=dinv,
             omega=float(omega),
         ))
