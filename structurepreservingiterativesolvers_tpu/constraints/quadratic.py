@@ -93,6 +93,12 @@ class StageKron:
         MPX = self.inner @ PX
         return (self.dt * self.b[:, None, None] * MPX[None]).reshape(-1, X.shape[1])
 
+    def todense(self):
+        # (PᵀMP)[(s,i),(t,j)] = dt² b_s b_t M[i,j] (stage-major stacking)
+        Md = jnp.asarray(self.inner.todense())
+        bb = jnp.outer(self.b, self.b) * (self.dt ** 2)
+        return jnp.kron(bb.astype(Md.dtype), Md)
+
 
 @_register
 @dataclasses.dataclass(frozen=True)
