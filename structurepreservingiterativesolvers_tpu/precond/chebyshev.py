@@ -220,16 +220,24 @@ def skew_normal_chebyshev(A, a: float, rho_k: Optional[float] = None,
     import math
 
     if rho_k is None:
+        # power iteration on K can under-converge when skew eigenvalue
+        # pairs cluster (advisor r4 #3): take the MAX over the last norm
+        # ratios instead of the final one, and widen the margin to 1.1 —
+        # lmax < λmax(N) would make the Chebyshev polynomial AMPLIFY
+        # exterior modes, while a mild overestimate only costs a slightly
+        # flatter polynomial
         n = A.shape[0]
         rng = np.random.default_rng(0)
         v = jnp.asarray(rng.standard_normal(n), diagonal(A).dtype)
         v = v / jnp.linalg.norm(v)
-        est = 1.0
-        for _ in range(30):
+        est = 0.0
+        for it in range(30):
             w = a * v - A @ v  # K v
-            est = float(jnp.linalg.norm(w))
-            v = w / est
-        rho_k = 1.05 * est
+            nw = float(jnp.linalg.norm(w))
+            if it >= 25:
+                est = max(est, nw)
+            v = w / nw
+        rho_k = 1.1 * est
     lmin = float(a) ** 2
     lmax = lmin + float(rho_k) ** 2
     if degree is None:

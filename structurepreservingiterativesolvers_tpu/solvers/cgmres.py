@@ -548,6 +548,23 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
 
         snap = (b.dtype == jnp.float32 and not prototypical and len(cons) > 0
                 and all(kk == "q" for kk in kinds) and snap_supported(cons))
+    elif snap:
+        # explicit snap=True: validate up front with a nameable error — the
+        # auto path gates on snap_supported but a manual override used to
+        # fail deep inside _dd_matvec at trace time (advisor r4 #4)
+        from ..constraints.projection import snap_supported
+
+        if any(kk != "q" for kk in kinds):
+            bad = [c.name for c, kk in zip(cons, kinds) if kk != "q"][0]
+            raise ValueError(
+                f"snap=True requires quadratic constraints; {bad!r} is a "
+                "general (callable) constraint")
+        if cons and not snap_supported(cons):
+            bad = [c.name for c in cons if not snap_supported((c,))]
+            raise ValueError(
+                "snap=True but constraint operator(s) "
+                f"{bad} are not dd-evaluable (see "
+                "constraints/projection.py::snap_supported)")
     f32_reduce = bool(mixed) and bool(snap)
     core = _build_core(int(k), len(cons), static_pre, bool(history),
                        prototypical, bool(mixed), kinds, ortho,
@@ -656,10 +673,14 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
                                          x0_zero=x0_zero, dd_value=mixed)
                             for c in qc
                         )
+                        # mirror the core's guard exactly (advisor r4 #1):
+                        # f32 reduction is only valid from a zero start, so a
+                        # warm-start timing run must measure the dd kernel
                         out = tuple(
-                            catchup_buffers(c, bf, Zi, x0c, x0_zero=x0_zero,
-                                            dd_reduce=mixed and not snap,
-                                            f32_reduce=mixed and snap)
+                            catchup_buffers(
+                                c, bf, Zi, x0c, x0_zero=x0_zero,
+                                dd_reduce=mixed and not (snap and x0_zero),
+                                f32_reduce=mixed and snap and x0_zero)
                             for c, bf in zip(qc, bufs)
                         )
                         leaf = sum(

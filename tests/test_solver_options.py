@@ -75,3 +75,24 @@ def test_cgmres_without_constraints_degenerates_to_gmres():
     np.testing.assert_allclose(
         np.asarray(xc), np.asarray(xg), rtol=1e-10, atol=1e-12
     )
+
+
+def test_explicit_snap_unsupported_constraint_clear_error():
+    """snap=True with a non-dd-evaluable or general constraint must raise a
+    nameable ValueError up front, not a trace-time failure inside _dd_matvec
+    (advisor r4 #4)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from structurepreservingiterativesolvers_tpu.constraints.general import (
+        GeneralConstraint,
+    )
+    from structurepreservingiterativesolvers_tpu.models import heat
+
+    s = heat.linforms(M=16, dtype=jnp.float32)
+    gen = GeneralConstraint(
+        func=lambda x: jnp.dot(x, x) - 1.0,
+        name="unit-sphere",
+    )
+    with pytest.raises(ValueError, match="unit-sphere"):
+        cgmres(s.A, s.b, k=10, tol=1e-5, constraints=(gen,), snap=True)
