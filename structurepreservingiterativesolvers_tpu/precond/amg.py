@@ -354,9 +354,27 @@ def _setup_program(metas, coarse_offsets, coarse_main, box, rho_iters):
     def _mv(data, offs, v):
         y = jnp.zeros_like(v)
         for d, off in enumerate(offs):
-            coef = data[d] if v.ndim == 1 else data[d][:, None]
-            y = y + coef * _shift(v, off, False)
+            y = y + data[d] * _shift(v, off, False)
         return y
+
+    def _shift_last(x, off):
+        # row-aligned shifted read along the LAST axis: batched probes keep
+        # the probe axis MAJOR — a (…, b, t) minor layout tile-pads the tiny
+        # dims to (4,128)/(8,128) on TPU (19-43× expansion; the first
+        # batched formulation OOM'd the M=2048 setup compile at 64.9 GB)
+        if off == 0:
+            return x
+        rolled = jnp.roll(x, -off, axis=-1)
+        idx = jnp.arange(x.shape[-1]) + off
+        valid = (idx >= 0) & (idx < x.shape[-1])
+        return jnp.where(valid, rolled, 0)
+
+    def _mv_b(data, offs, X):
+        # X: (t, n) probe batch; data[d]: (n,) broadcasts over rows
+        Y = jnp.zeros_like(X)
+        for d, off in enumerate(offs):
+            Y = Y + data[d][None, :] * _shift_last(X, off)
+        return Y
 
     @jax.jit
     def build(data0):
@@ -413,50 +431,59 @@ def _setup_program(metas, coarse_offsets, coarse_main, box, rho_iters):
                                 Cc1=mt.Cc1, Cc2=mt.Cc2)
             C1_, C2_, Cc1_, Cc2_ = mt.C1, mt.C2, mt.Cc1, mt.Cc2
             # --- coloring probes → coarse DIA bands ----------------------
-            # all p² probes run BATCHED as the trailing axis of one
-            # SpMM-style roll chain (the per-probe formulation traced ~9×
-            # the HLO and compiled in minutes through the remote tunnel)
+            # all p² probes run BATCHED along the LEADING axis of one
+            # roll-chain SpMM (per-probe tracing compiled in minutes through
+            # the remote tunnel; a trailing probe axis tile-padded the tiny
+            # minor dims and OOM'd the M=2048 compile at 64.9 GB).  Box
+            # expansion/reduction use stride-``box`` slices so no reshape
+            # ever puts a size-3 or size-9 dim minor-most.
             ic = jnp.arange(Cc1_) % p
             jc = jnp.arange(Cc2_) % p
             pa = jnp.arange(p)
-            # E[(i,j), (a,c)] = 1 iff color(i,j) == (a,c); shape (nc, p²)
-            E = ((ic[:, None, None, None] == pa[None, None, :, None])
-                 & (jc[None, :, None, None] == pa[None, None, None, :]))
             nc = Cc1_ * Cc2_
-            E = E.astype(data.dtype).reshape(nc, p * p)
+            # E[(a,c), (i,j)] = 1 iff color(i,j) == (a,c); shape (p², nc)
+            E = ((ic[None, None, :, None] == pa[:, None, None, None])
+                 & (jc[None, None, None, :] == pa[None, :, None, None]))
+            E = E.astype(data.dtype).reshape(p * p, nc)
 
-            def apply_RAP(Ecols):
-                # batched BoxProlong: coarse (nc, t) → fine (nlev, t)
-                t = Ecols.shape[1]
-                Ecg = Ecols.reshape(Cc1_, Cc2_, t)
-                F = jnp.repeat(jnp.repeat(Ecg, box, axis=0), box, axis=1)
-                F = F[:C1_, :C2_].reshape(nlev, t)
-                F = _mv(SP, offs, F)  # S·(P0 e) — _shift broadcasts axis 0
-                F = _mv(data, offs, F)  # A·
-                # batched BoxRestrict: Sᵣ then pad + box-sum
-                W = _mv(SR, offs, F).reshape(C1_, C2_, t)
-                W = jnp.pad(W, ((0, box * Cc1_ - C1_),
-                                (0, box * Cc2_ - C2_), (0, 0)))
-                Wc = W.reshape(box * Cc1_, Cc2_, box, t).sum(2)
-                return Wc.reshape(Cc1_, box, Cc2_, t).sum(1)
+            def apply_RAP(Erows):
+                # batched BoxProlong: coarse (t, nc) → fine (t, nlev)
+                t = Erows.shape[0]
+                Ecg = Erows.reshape(t, Cc1_, Cc2_)
+                F = jnp.zeros((t, box * Cc1_, box * Cc2_), data.dtype)
+                for ra in range(box):
+                    for rb in range(box):
+                        F = F.at[:, ra::box, rb::box].set(Ecg)
+                F = F[:, :C1_, :C2_].reshape(t, nlev)
+                F = _mv_b(SP, offs, F)  # S·(P0 e)
+                F = _mv_b(data, offs, F)  # A·
+                # batched BoxRestrict: Sᵣ then pad + strided box-sum
+                W = _mv_b(SR, offs, F).reshape(t, C1_, C2_)
+                W = jnp.pad(W, ((0, 0), (0, box * Cc1_ - C1_),
+                                (0, box * Cc2_ - C2_)))
+                Wc = jnp.zeros((t, Cc1_, Cc2_), data.dtype)
+                for ra in range(box):
+                    for rb in range(box):
+                        Wc = Wc + W[:, ra::box, rb::box]
+                return Wc
 
-            Y = apply_RAP(E)  # (Cc1, Cc2, p²)
+            Y = apply_RAP(E)  # (p², Cc1, Cc2)
             ii = jnp.arange(Cc1_)[:, None]
             jj = jnp.arange(Cc2_)[None, :]
             newdata = []
             for (di, dj) in mt.coffs2d:
                 # color of the (i+di, j+dj) neighbour, flattened probe index
                 sel = (jnp.mod(ii + di, p) * p + jnp.mod(jj + dj, p))
-                band = jnp.sum(
-                    Y * (sel[:, :, None] == jnp.arange(p * p)[None, None, :]),
-                    axis=2)
+                band = jnp.zeros((Cc1_, Cc2_), data.dtype)
+                for tix in range(p * p):
+                    band = band + jnp.where(sel == tix, Y[tix], 0.0)
                 newdata.append(band.reshape(-1))
             coffs = tuple(di * Cc2_ + dj for di, dj in mt.coffs2d)
             newdata = jnp.stack(newdata)
             # a-posteriori radius check: the extracted stencil must act like
             # the composed operator on a generic vector
             wtest = jnp.sin(jnp.arange(nc, dtype=data.dtype) * 7.13) + 0.3
-            y_true = apply_RAP(wtest[:, None]).reshape(-1)
+            y_true = apply_RAP(wtest[None, :]).reshape(-1)
             y_band = _mv(newdata, coffs, wtest)
             probe_errs.append(
                 jnp.max(jnp.abs(y_true - y_band))
