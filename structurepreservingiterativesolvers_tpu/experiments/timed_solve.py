@@ -92,6 +92,71 @@ def certified_deviations(system, x) -> dict:
     return devs
 
 
+def chained_core_times(system, pre, k, tol, contol=10.0, ctol=1e-12,
+                       reps=5, outer=3):
+    """Same-window chained in-program per-solve times for the GMRES and
+    CGMRES cores — the honest device-work comparison.
+
+    Through the axon tunnel every dispatch pays a ~30-55 ms RPC floor and
+    windows vary ~30×, so single-dispatch walls systematically inflate
+    whichever solver is measured with more dispatches (this inflated the
+    round-4 'constrained iteration' column 24-26×; probe31/32 found the
+    actual chained cores at 1.12-1.18×).  ``reps`` dependent solves run
+    inside ONE program; the median over ``outer`` dispatches divided by
+    ``reps`` is the per-solve device time."""
+    import jax
+    from jax import lax
+
+    from ..constraints.general import GeneralConstraint
+    from ..solvers.cgmres import _build_core as _c_core
+    from ..solvers.gmres import _build_core as _g_core
+    from ..solvers.hostio import dscalar
+
+    b = system.b
+    dt = b.dtype
+    cons = tuple(system.constraints())
+    kinds = tuple(
+        "g" if isinstance(c, GeneralConstraint) else "q" for c in cons)
+    mixed = dt == jnp.float32 and jax.config.jax_enable_x64
+    if dt == jnp.float32 and all(kk == "q" for kk in kinds):
+        from ..constraints.projection import snap_supported
+
+        snap = snap_supported(cons)
+    else:
+        snap = False
+    f32r = mixed and snap
+    gcore = _g_core(int(k), None, False, True, "cgs2", "while")
+    ccore = _c_core(int(k), len(cons), None, False, False, mixed, kinds,
+                    "cgs2", True, "while", snap, f32r)
+    tol_d = dscalar(tol, dt)
+    contol_d = dscalar(contol, dt)
+    ctol_d = dscalar(ctol, dt)
+
+    def _chain(fn):
+        @jax.jit
+        def chain(v0, ops):
+            def body(i, acc):
+                out = fn(acc, ops)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return acc + 1e-20 * jnp.ravel(leaf)[:1].astype(acc.dtype)
+
+            return lax.fori_loop(0, reps, body, v0)
+
+        ops = (system.A, pre, cons)
+        jax.block_until_ready(chain(b, ops))
+        ts = []
+        for _ in range(outer):
+            t0 = time()
+            jax.block_until_ready(chain(b, ops))
+            ts.append(time() - t0)
+        return float(np.median(ts)) / reps
+
+    t_g = _chain(lambda v, ops: gcore(ops[0], v, None, tol_d, ops[1]).x)
+    t_c = _chain(lambda v, ops: ccore(ops[0], v, None, ops[2], tol_d,
+                                      contol_d, ctol_d, ops[1]).x)
+    return t_g, t_c
+
+
 def time_cgmres(
     problem: str = "heat",
     M: int = 2**4,
@@ -100,6 +165,7 @@ def time_cgmres(
     k: int = 20,
     pre_builder: Optional[Callable] = None,
     tol_mode: str = "abs",
+    chained: bool = False,
     **params,
 ):
     """One row of the sweep.  ``tol_mode='rhs'`` scales ``tol`` by ‖b‖ —
@@ -182,6 +248,10 @@ def time_cgmres(
     out["res_final"] = float(np.asarray(geodict["res"])[-1])
     out["gmres_res_final"] = float(np.asarray(solvedict["res"])[-1])
     out["tol_effective"] = tol
+    if chained:
+        t_g, t_c = chained_core_times(system, pre, k, tol)
+        out["gmres_device_time"] = t_g
+        out["cgmres_device_time"] = t_c
     return out
 
 
