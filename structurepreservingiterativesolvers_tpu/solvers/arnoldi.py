@@ -73,19 +73,34 @@ def _mgs(Q: jnp.ndarray, w: jnp.ndarray, j: jnp.ndarray) -> Tuple[jnp.ndarray, j
     return lax.fori_loop(0, j + 1, body, (w, h))
 
 
-def _cgs2(Q: jnp.ndarray, w: jnp.ndarray, j: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _cgs2(Q: jnp.ndarray, w: jnp.ndarray, j: jnp.ndarray,
+          fused: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Classical Gram-Schmidt with reorthogonalisation (CGS2).
 
     Rows of Q beyond the active prefix are zero, so the two batched
     (k+1,n)-matvec passes orthogonalise exactly against Q[0..j] with no
     masking — two MXU/VPU ops instead of j sequential dot/axpy pairs.
     CGS2's orthogonality loss is O(eps), matching MGS for these basis sizes
-    (the TPU-friendly substitute called out in SURVEY §7)."""
+    (the TPU-friendly substitute called out in SURVEY §7).
+
+    On TPU the middle two of the four basis sweeps (update-1 + matvec-2)
+    run as one fused Pallas pass over Q (``ops/pallas_ortho.py``) — same
+    arithmetic, 25% less orthogonalisation traffic.  ``fused='xla'``
+    forces the plain form (required under GSPMD sharding, where a
+    pallas_call would gather the basis onto one device)."""
+    from ..ops.pallas_ortho import fused_eligible, fused_update_matvec
+
     h1 = Q @ w
-    w = w - h1 @ Q
-    h2 = Q @ w
-    w = w - h2 @ Q
-    return w, h1 + h2
+    if fused != "xla" and fused_eligible(Q, w):
+        from .. import config
+
+        w1, h2 = fused_update_matvec(Q, w, h1,
+                                     interpret=not config.is_tpu())
+    else:
+        w1 = w - h1 @ Q
+        h2 = Q @ w1
+    w2 = w1 - h2 @ Q
+    return w2, h1 + h2
 
 
 def arnoldi_step(
@@ -101,7 +116,14 @@ def arnoldi_step(
     """
     z = prefunc(st.Q[j])
     w = A @ z
-    w, hcol = (_cgs2 if ortho == "cgs2" else _mgs)(st.Q, w, j)
+    # ortho: 'cgs2' (fused pallas pass on TPU), 'cgs2_xla' (plain form —
+    # REQUIRED for GSPMD-sharded operands), 'mgs' (reference parity)
+    if ortho == "cgs2":
+        w, hcol = _cgs2(st.Q, w, j)
+    elif ortho == "cgs2_xla":
+        w, hcol = _cgs2(st.Q, w, j, fused="xla")
+    else:
+        w, hcol = _mgs(st.Q, w, j)
     hlast = jnp.linalg.norm(w)
     hcol = hcol.at[j + 1].set(hlast)
 
