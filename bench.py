@@ -221,8 +221,12 @@ def main():
         _build_phase1,
     )
 
-    pre_big = amg(sys_.A_csr, dtype=b.dtype,
-                  grid=(M + 1, M + 1))
+    pre_big = amg(sys_.A, dtype=b.dtype,
+                  grid=(M + 1, M + 1))  # compile the setup program
+    t0_amg = time.perf_counter()
+    pre_big = amg(sys_.A, dtype=b.dtype, grid=(M + 1, M + 1))
+    jax.block_until_ready(pre_big.coarse_inv)
+    amg_setup_s = time.perf_counter() - t0_amg  # warm (compiled) device setup
     kp = 20
     p1 = _build_phase1(kp, None, "cgs2", True)
     tolp = dscalar(1e-7, b.dtype)
@@ -243,6 +247,17 @@ def main():
     t_p1, _ = _chained_time(make_p1_chain, reps_inner=5 if on_accel else 2,
                             reps_outer=3)
     preconditioned_iter_s = t_p1 / j1h
+
+    # GMRES-vs-CGMRES core ratio at the headline size, same-window chained
+    # (round-5: the production constrained endgame is a tail — probe31/32
+    # measured 1.12-1.18×; TimedSolve wall columns carry the RPC floor)
+    from structurepreservingiterativesolvers_tpu.experiments.timed_solve import (
+        chained_core_times,
+    )
+
+    t_g_core, t_c_core = chained_core_times(
+        sys_, pre_big, kp, 1e-7, reps=5 if on_accel else 2, outer=3)
+    ratio_cg = t_c_core / t_g_core
     xc, ci = cgmres(s2.A, s2.b, k=40, tol=1e-6, constraints=cons, pre=pre)
     # conservation gains through the dd/f64 certificate path — f32
     # compute_invariants evaluation noise sits orders above real deviations
@@ -285,6 +300,10 @@ def main():
             "hbm_fraction_production": hbm_fraction_prod,
             "host_scipy_nnz_per_s": host_nnz_s,
             "cgmres_tts_s": t_cg,
+            "amg_setup_s": amg_setup_s,
+            "cgmres_over_gmres_core": ratio_cg,
+            "gmres_core_s": t_g_core,
+            "cgmres_core_s": t_c_core,
             "preconditioned_iter_s": preconditioned_iter_s,
             "preconditioned_iters_measured": j1h,
             "cgmres_steps": ci["steps"],
