@@ -41,6 +41,11 @@ class SpaceP1:
         self.tri[1::2] = upper
 
     def _geometry(self):
+        # memoised: linforms touches geometry through mass/stiffness/omega/
+        # project — five rebuilds cost ~3.6 s at M=1024 (~15 s at 2048)
+        cached = getattr(self, "_geom_cache", None)
+        if cached is not None:
+            return cached
         p = self.xy[self.tri]  # (nt, 3, 2)
         d1 = p[:, 1] - p[:, 0]
         d2 = p[:, 2] - p[:, 0]
@@ -55,6 +60,7 @@ class SpaceP1:
         b[:, 2, 0] = p[:, 0, 1] - p[:, 1, 1]
         b[:, 2, 1] = p[:, 1, 0] - p[:, 0, 0]
         b /= det[:, None, None]
+        self._geom_cache = (area, b)
         return area, b
 
     def _scatter(self, blocks: np.ndarray) -> sp.csr_matrix:
@@ -63,9 +69,15 @@ class SpaceP1:
         return sp.csr_matrix((blocks.ravel(), (rows, cols)), shape=(self.nv, self.nv))
 
     def mass(self) -> sp.csr_matrix:
+        # memoised: both linforms and project() need it (one CSR scatter
+        # costs ~6.5 s at M=1024)
+        cached = getattr(self, "_mass_cache", None)
+        if cached is not None:
+            return cached
         area, _ = self._geometry()
         Me = (np.ones((3, 3)) + np.eye(3)) / 12.0  # |T|·(2 diag, 1 off)/12
-        return self._scatter(area[:, None, None] * Me[None])
+        self._mass_cache = self._scatter(area[:, None, None] * Me[None])
+        return self._mass_cache
 
     def stiffness(self) -> sp.csr_matrix:
         area, b = self._geometry()
@@ -188,10 +200,14 @@ class SpaceP2(SpaceP1):
         )
 
     def mass(self) -> sp.csr_matrix:
+        cached = getattr(self, "_mass_cache", None)
+        if cached is not None:
+            return cached
         area, _ = self._geometry()
         vals, _ = self._basis(_QP_BARY)  # (nq, 6)
         Me = np.einsum("q,qa,qb->ab", _QP_W, vals, vals)  # ∫ref scaled by |T|
-        return self._scatter6(area[:, None, None] * Me[None])
+        self._mass_cache = self._scatter6(area[:, None, None] * Me[None])
+        return self._mass_cache
 
     def stiffness(self) -> sp.csr_matrix:
         area, gl = self._geometry()  # gl: (nt, 3, 2) grad λ
