@@ -113,6 +113,11 @@ def main():
     from structurepreservingiterativesolvers_tpu.solvers import cgmres, gmres
 
     on_accel = jax.default_backend() != "cpu"
+    if on_accel:
+        # persistent compile cache: remote compiles are 1-4 min/program
+        from structurepreservingiterativesolvers_tpu import config as _cfg
+
+        _cfg.enable_compile_cache()
     M = 1024 if on_accel else 512  # keep the CPU-fallback path bounded
     sys_ = heat.linforms(M=M, N=100)
     A, b = sys_.A, sys_.b

@@ -42,6 +42,8 @@ def main():
     from jax import lax
 
     print("backend:", jax.default_backend(), flush=True)
+    from structurepreservingiterativesolvers_tpu import config as _cfg
+    _cfg.enable_compile_cache()
     t0 = time.perf_counter()
     print("health:", float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]),
           f"{time.perf_counter()-t0:.1f}s", flush=True)

@@ -22,22 +22,29 @@ import jax.numpy as jnp
 if os.environ.get("SPIS_DISABLE_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: through the axon remote-compile tunnel every
-# program costs 1-4 minutes to compile, per process.  The on-disk cache is
-# verified to work across processes with the axon backend (9.7 s → 0.3 s);
-# it turns per-process sweep/bench compile walls into one-time costs.
-if os.environ.get("SPIS_DISABLE_COMPILE_CACHE", "0") != "1":
-    _cache_dir = os.environ.get(
+def enable_compile_cache(cache_dir: str = None) -> bool:
+    """Turn on the persistent compilation cache (TPU entry points only).
+
+    Through the axon remote-compile tunnel every program costs 1-4 minutes
+    to compile, per process; the on-disk cache is verified to work across
+    processes with the axon backend (9.7 s → 0.3 s).  NOT enabled globally:
+    serialising CPU executables with the axon plugin loaded segfaults
+    (observed in the round-5 test suite), so bench/sweep/probe scripts call
+    this explicitly after their health gate."""
+    if os.environ.get("SPIS_DISABLE_COMPILE_CACHE", "0") == "1":
+        return False
+    cache_dir = cache_dir or os.environ.get(
         "SPIS_COMPILE_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(__file__)),
                      ".jax_cache"),
     )
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        return True
     except (OSError, AttributeError):  # read-only install dir / old jax
-        pass
+        return False
 
 
 def backend() -> str:
