@@ -14,6 +14,7 @@ import warnings
 from time import time
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -186,7 +187,17 @@ def time_cgmres(
     pre_builder = pre_builder or default_pre_builder(problem)
     start_pre = time()
     pre = pre_builder(system)
+    jax.block_until_ready(jax.tree_util.tree_leaves(pre) or [jnp.zeros(())])
     end_pre = time()
+    # steady-state build: the first call may carry the one-time jit compile
+    # of the device AMG setup program (minutes through the remote-compile
+    # tunnel, cached persistently); the SECOND build is the recurring cost
+    # the reference's "pre build" column measures (PyAMG setup runs per
+    # call, heat/TimedSolve.py:30-37)
+    start_pre2 = time()
+    pre = pre_builder(system)
+    jax.block_until_ready(jax.tree_util.tree_leaves(pre) or [jnp.zeros(())])
+    end_pre2 = time()
 
     # warm up both solvers so the reported times are steady-state (the
     # reference runs have no compile phase; ours is reported separately)
@@ -236,7 +247,8 @@ def time_cgmres(
     out = dict(geodict["timings"])
     out["steps"] = geodict["steps"]
     out["unconstrained_steps"] = geodict["steps"] - out["constrained_steps"]
-    out["time_pre"] = end_pre - start_pre
+    out["time_pre"] = end_pre2 - start_pre2
+    out["time_pre_first"] = end_pre - start_pre
     out["time_gmres"] = end_gmres - start_gmres
     out["gmres_steps"] = solvedict["steps"]
     out["compile_time"] = compile_time
