@@ -236,7 +236,11 @@ def amg(A_csr, theta: float = 0.08, omega: float = 0.8, nu: int = 2,
             if setup == "device":
                 raise
             warnings.warn(f"device AMG setup unavailable ({e}); "
-                          "falling back to host setup")
+                          "falling back to host GREEDY setup")
+            # greedy, NOT host-structured: whatever made the device path
+            # refuse (asymmetry, non-grid-local stencil) breaks the host
+            # structured transfers' assumptions identically (advisor r4 #2)
+            grid = None
     import scipy.sparse as sp
 
     dtype = np.dtype(dtype) if dtype is not None else np.dtype(
