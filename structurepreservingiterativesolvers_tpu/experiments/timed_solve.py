@@ -178,7 +178,13 @@ def time_cgmres(
     at f32-attainable levels and is annotated in the table."""
     model = get_model(problem)
     system = model.linforms(M=M, degree=degree, **params)
-    x0 = jnp.zeros_like(system.b)
+    # x0=None is the zero start with STATIC knowledge (reference passes
+    # np.zeros_like(b), heat/TimedSolve.py:43): a runtime zeros array forced
+    # the core onto the warm-start path, whose in-loop reduction runs in dd
+    # instead of snap-first f32 — 2× the CGMRES wall at M≥1024 (this was
+    # the residual gap between round-4's wall columns and probe31/32's
+    # chained cores)
+    x0 = None
     if tol_mode == "rhs":
         tol = tol * float(np.linalg.norm(np.asarray(system.b)))
     elif tol_mode != "abs":
