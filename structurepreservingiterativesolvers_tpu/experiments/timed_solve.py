@@ -125,7 +125,9 @@ def chained_core_times(system, pre, k, tol, contol=10.0, ctol=1e-12,
         snap = snap_supported(cons)
     else:
         snap = False
-    f32r = mixed and snap
+    # same reduction-mode decision as the production wrapper (wrappers.py)
+    f32r = (mixed and snap
+            and wrappers.reduction_mode(system, tol).get("f32_reduce", True))
     gcore = _g_core(int(k), None, False, True, "cgs2", "while")
     ccore = _c_core(int(k), len(cons), None, False, False, mixed, kinds,
                     "cgs2", True, "while", snap, f32r)

@@ -525,7 +525,7 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
 
 def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
          prototypical, name, mixed=None, ortho="cgs2", true_residual=True,
-         loop="while", snap=None):
+         loop="while", snap=None, f32_reduce=None):
     b = jnp.asarray(b)
     if x0 is not None:
         x0 = jnp.asarray(x0, b.dtype)
@@ -565,7 +565,20 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
                 "snap=True but constraint operator(s) "
                 f"{bad} are not dd-evaluable (see "
                 "constraints/projection.py::snap_supported)")
-    f32_reduce = bool(mixed) and bool(snap)
+    # in-loop reduction mode (snap-first economics vs termination):
+    # f32 buffers pin the constrained iterates to a manifold ~eps32·|c| off
+    # the true one, ELEVATING the attainable constrained residual — on
+    # high-invariant-scale problems (swe: |e0| ≈ 2.9e4 → floor ~5e-3) that
+    # blocks termination at rhs-relative tolerances and the solver runs to
+    # k with ~10× the constrained steps.  Callers whose tolerance sits
+    # under ~100·eps32·max|c| should pass ``f32_reduce=False`` (the dd
+    # reduction keeps the constrained floor at the unconstrained one); the
+    # default keeps the cheap f32 path (heat's tolerances are either above
+    # the elevation or below every f32 floor — round-5 probe).
+    if f32_reduce is None:
+        f32_reduce = bool(mixed) and bool(snap)
+    else:
+        f32_reduce = bool(f32_reduce) and bool(mixed) and bool(snap)
     core = _build_core(int(k), len(cons), static_pre, bool(history),
                        prototypical, bool(mixed), kinds, ortho,
                        bool(true_residual), loop, bool(snap),
@@ -679,8 +692,8 @@ def _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history, timing,
                         out = tuple(
                             catchup_buffers(
                                 c, bf, Zi, x0c, x0_zero=x0_zero,
-                                dd_reduce=mixed and not (snap and x0_zero),
-                                f32_reduce=mixed and snap and x0_zero)
+                                dd_reduce=mixed and not (f32_reduce and x0_zero),
+                                f32_reduce=f32_reduce and x0_zero)
                             for c, bf in zip(qc, bufs)
                         )
                         leaf = sum(
@@ -750,6 +763,7 @@ def cgmres(
     true_residual: bool = True,
     loop: str = "while",
     snap: bool = None,
+    f32_reduce: bool = None,
 ):
     """Constraint-satisfying FGMRES; returns ``(x, info)``.
 
@@ -762,11 +776,18 @@ def cgmres(
     constraints) runs the discrete invariant projection epilogue
     (constraints/projection.py) so the RETURNED iterate — not just the
     reduced coefficient model — certifies the constraints.
+
+    ``f32_reduce`` selects the in-loop constraint-reduction arithmetic on
+    f32 storage: True (default with snap) is the cheap plain-f32 path;
+    False keeps the double-f32 reduction — required when ``tol`` sits under
+    ~100·eps32·max|c| (high-invariant-scale problems like swe), where the
+    f32-perturbed constraint manifold would elevate the attainable
+    constrained residual above ``tol`` and block termination.
     """
     return _run(A, b, x0, k, tol, contol, constraints, pre, ctol, history,
                 timing, prototypical=False, name="cgmres", mixed=mixed,
                 ortho=ortho, true_residual=true_residual, loop=loop,
-                snap=snap)
+                snap=snap, f32_reduce=f32_reduce)
 
 
 def cgmres_p(
