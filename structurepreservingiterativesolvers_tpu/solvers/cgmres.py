@@ -305,6 +305,50 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                     lam_ws=lamc, Kinv_ws=Kinvc,
                     have_ws=jnp.bool_(False) if prototypical else haveK,
                 )
+                e1 = (jnp.arange(k + 1) == 0).astype(cdtype)
+                Hc = st.H.astype(cdtype)
+                if not prototypical:
+                    # dual-start Newton: the nonconvex constraints have
+                    # multiple feasible basins, and NEITHER start dominates —
+                    # the previous-y start can stall in a feasible-but-
+                    # residually-bad basin across iterations (swe f64
+                    # tol=1e-9: res pinned at 2.4e-7 vs the true constrained
+                    # minimum at 1e-10, which a fresh LSQ start reaches in 2
+                    # iterations — round-5 probe vs scipy SLSQP on the same
+                    # reduced data), while the fresh LSQ start can land in a
+                    # far/infeasible basin the previous-y start avoids
+                    # (heat-unpreconditioned M=64).  Solve from BOTH (the KKT
+                    # is k-sized — one extra ~ms against an n-sized
+                    # iteration) and keep the better candidate: feasible
+                    # first, then smaller Hessenberg residual.
+                    kkt_f = constrained_lsq(
+                        Hc, beta.astype(cdtype),
+                        all_bufs, y_fallback.astype(cdtype), active,
+                        con_mask, kkt_tol=kkt_tol,
+                        lam_ws=None, Kinv_ws=None, have_ws=None,
+                    )
+
+                    def _merit(kk):
+                        r = jnp.linalg.norm(beta.astype(cdtype) * e1
+                                            - Hc @ kk.y)
+                        nan = jnp.any(jnp.isnan(kk.y))
+                        eps_m = jnp.finfo(cdtype).eps
+                        floor_m = jnp.maximum(ctol.astype(cdtype),
+                                              32.0 * eps_m * kk.scale)
+                        feas = (kk.deviation <= floor_m) & ~nan
+                        return r, feas, nan
+
+                    r_a, feas_a, nan_a = _merit(kkt)
+                    r_b, feas_b, nan_b = _merit(kkt_f)
+                    r_a_ = jnp.where(nan_a, jnp.inf, r_a)
+                    r_b_ = jnp.where(nan_b, jnp.inf, r_b)
+                    take_b = jnp.where(
+                        feas_a != feas_b, feas_b, r_b_ < r_a_)
+                    take_b = take_b & ~nan_b
+                    kkt = jax.tree_util.tree_map(
+                        lambda a_, b_: jnp.where(take_b, b_, a_),
+                        kkt, kkt_f,
+                    )
                 bad = jnp.any(jnp.isnan(kkt.y))
                 # far-branch rejection: the quadratic constraints are
                 # nonconvex, and when they are infeasible near the LSQ
@@ -316,8 +360,6 @@ def _build_core(k: int, m: int, static_pre, history: bool, prototypical: bool,
                 # constraints, which its checker turns into safety=False
                 # (reference solvers.py:256-284) — mirror that: keep the
                 # unconstrained coefficients and trip the latch.
-                e1 = (jnp.arange(k + 1) == 0).astype(cdtype)
-                Hc = st.H.astype(cdtype)
                 res_kkt = jnp.linalg.norm(beta.astype(cdtype) * e1 - Hc @ kkt.y)
                 # the unconstrained LSQ residual is the Givens estimate the
                 # Arnoldi state already maintains — no extra matvec
