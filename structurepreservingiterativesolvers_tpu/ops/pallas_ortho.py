@@ -32,31 +32,30 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-DEFAULT_BLOCK_COLS = 8192
+DEFAULT_BLOCK_COLS = 32768
 MIN_N = 65536
 
 
-def _kernel(n, BN, h_ref, Q_ref, w_ref, w1_ref, u2_ref):
+def _kernel(n, BN, k1, h_ref, Q_ref, w_ref, w1_ref, u2_ref):
+    # pure-VPU formulation: k1 ~ 21 makes MXU dot_generals pathological on
+    # f32 (HIGHEST precision = 6-pass bf16 decomposition; measured 127 GB/s
+    # vs 342 for the XLA matvecs) — unrolled row FMAs + lane reductions
+    # keep everything on the VPU with the Q tile resident in VMEM.
     i = pl.program_id(0)
-    Qb = Q_ref[:]  # (k1, BN)
     wb = w_ref[:]  # (1, BN)
+    Qb = Q_ref[:]  # (k1, BN)
     h = h_ref[:]  # (k1, 1)
-    proj = jax.lax.dot_general(
-        h.T, Qb, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, BN)
+    # whole-tile sublane reduction: Σ_r h[r]·Q[r,:] in one VPU pass
+    proj = jnp.sum(h * Qb, axis=0, keepdims=True)  # (1, BN)
     w1 = wb - proj
     col = jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
     valid = (i * BN + col) < n
     w1 = jnp.where(valid, w1, 0.0)
     w1_ref[:] = w1
-    # zero the ragged columns of Q too: the padded region of the last block
-    # is uninitialised and 0·garbage (or 0·NaN) would poison the reduction
+    # whole-tile lane reduction for the partial u2; mask Q's ragged columns
+    # (uninitialised padding: 0·NaN would poison the sum)
     Qz = jnp.where(valid, Qb, 0.0)
-    part = jax.lax.dot_general(
-        Qz, w1.T, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (k1, 1)
+    part = jnp.sum(Qz * w1, axis=1, keepdims=True)  # (k1, 1)
 
     @pl.when(i == 0)
     def _init():
@@ -74,16 +73,19 @@ def fused_update_matvec(Q, w, h, block_cols: int = DEFAULT_BLOCK_COLS,
     k1, n = Q.shape
     grid = pl.cdiv(n, block_cols)
     w1, u2 = pl.pallas_call(
-        partial(_kernel, n, block_cols),
+        partial(_kernel, n, block_cols, k1),
         grid=(grid,),
+        # index maps use ``i - i`` for constant coordinates: a literal 0
+        # promotes the map's return to i64 under x64 mode, which Mosaic
+        # rejects ("failed to legalize 'func.return' (i64, i64)")
         in_specs=[
-            pl.BlockSpec((k1, 1), lambda i: (0, 0)),
-            pl.BlockSpec((k1, block_cols), lambda i: (0, i)),
-            pl.BlockSpec((1, block_cols), lambda i: (0, i)),
+            pl.BlockSpec((k1, 1), lambda i: (i - i, i - i)),
+            pl.BlockSpec((k1, block_cols), lambda i: (i - i, i)),
+            pl.BlockSpec((1, block_cols), lambda i: (i - i, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_cols), lambda i: (0, i)),
-            pl.BlockSpec((k1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, block_cols), lambda i: (i - i, i)),
+            pl.BlockSpec((k1, 1), lambda i: (i - i, i - i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), Q.dtype),
@@ -95,21 +97,24 @@ def fused_update_matvec(Q, w, h, block_cols: int = DEFAULT_BLOCK_COLS,
 
 
 def fused_eligible(Q, w) -> bool:
-    """'auto' gate: TPU backend, f32, and big enough that the saved basis
-    sweep beats the kernel's fixed cost.  The kernel must NOT be used on
-    GSPMD-sharded operands (pallas_call blocks partitioning and would
-    gather the basis onto one device) — multi-chip solves pass
-    ``ortho='cgs2_xla'`` (see solvers/arnoldi.py)."""
+    """Gate for the fused kernel — DEFAULT OFF (documented negative result,
+    round-5 probe33 at n=1.05M, k=20, v5e): the kernel reaches only
+    121-136 GB/s per basis read (MXU dot_general variant 127 — f32 needs
+    the 6-pass bf16 HIGHEST path at k1=21; whole-tile VPU reductions 136;
+    per-row FMAs 115; 8k vs 32k blocks indistinguishable), while XLA's
+    "two-sweep" update+matvec pair measures 352 GB/s against a 2-read
+    traffic model — i.e. XLA already fuses the adjacent sweeps below two
+    physical reads, so a hand kernel that saves one *nominal* sweep starts
+    from behind.  End-to-end gmres core: 50.5-54.4 ms fused vs 48.1-48.2 ms
+    plain.  ``SPIS_ORTHO_ENGINE=pallas`` forces the kernel (experiments);
+    it must NOT be used on GSPMD-sharded operands (pallas_call blocks
+    partitioning and would gather the basis onto one device)."""
     import os
 
-    engine = os.environ.get("SPIS_ORTHO_ENGINE", "auto")
-    if engine == "xla":
-        return False
+    engine = os.environ.get("SPIS_ORTHO_ENGINE", "xla")
     structurally_ok = (
         Q.ndim == 2 and Q.dtype == jnp.float32 and w.dtype == jnp.float32
     )
     if engine == "pallas":
         return structurally_ok
-    from .. import config
-
-    return structurally_ok and Q.shape[1] >= MIN_N and config.is_tpu()
+    return False
