@@ -22,9 +22,16 @@ from structurepreservingiterativesolvers_tpu import models, precond, solvers
 
 
 def show(label, system, k, tol, pre=None):
+    from structurepreservingiterativesolvers_tpu.experiments.wrappers import (
+        reduction_mode,
+    )
+
     xg, gi = solvers.gmres(system.A, system.b, k=k, tol=tol, pre=pre)
+    # reduction_mode keeps the in-loop arithmetic compatible with the
+    # tolerance (high-invariant-scale problems need the dd reduction)
     xc, ci = solvers.cgmres(system.A, system.b, k=k, tol=tol,
-                            constraints=system.constraints(), pre=pre)
+                            constraints=system.constraints(), pre=pre,
+                            **reduction_mode(system, tol))
     # deviations through the dd/f64 certificate path: a plain f32
     # compute_invariants carries evaluation noise orders above the real
     # deviations and would print noise as "drift"
