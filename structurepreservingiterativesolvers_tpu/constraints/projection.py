@@ -107,7 +107,7 @@ _LADDER = (0, 0, 2048, 512, 128, 32, 8)
 
 
 def snap(x: jnp.ndarray, cons: Sequence[QuadraticConstraint],
-         windows: Tuple[int, ...] = _LADDER):
+         windows: Tuple[int, ...] = _LADDER, rounds: int = 2):
     """Project f32 ``x`` onto the constraint manifold.  Traceable; returns
     ``(x_snapped, deviations)`` with deviations the certified (dd) f64
     per-constraint values at the RETURNED iterate.
@@ -131,29 +131,38 @@ def snap(x: jnp.ndarray, cons: Sequence[QuadraticConstraint],
     m = len(cons)
     if m == 0:
         return x, jnp.zeros((0,), jnp.float64)
-    g = _deviations(cons, x)
-    D = jnp.stack([c.grad(x) for c in cons])  # (m, n) f32, frozen at entry
-    x_entry = x
     n = x.shape[0]
-    for window in windows:
-        if window >= n:
-            continue
-        x_new = _newton_step(D, x, g, window)
-        delta = x_new - x  # exact f32 for roundoff-sized updates (Sterbenz)
-        gnew = []
-        for ci, con in enumerate(cons):
-            t = _dd.dot_f32(_dd.from_f32(D[ci]), delta)
-            if con.M is not None:
-                md = (con.M @ delta).astype(jnp.float32)
-                # (M(x−x_entry))·Δ + ½Δ·MΔ = (MΔ)·((x−x_entry) + ½Δ)
-                t = _dd.add(t, _dd.dot_f32(
-                    _dd.from_f32(md), (x - x_entry) + 0.5 * delta))
-            gnew.append(g[ci] + _dd.to_f64(t))
-        g_new = jnp.stack(gnew)
-        better = (jnp.max(jnp.abs(g_new)) < jnp.max(jnp.abs(g))) \
-            & jnp.all(jnp.isfinite(g_new))
-        x = jnp.where(better, x_new, x)
-        g = jnp.where(better, g_new, g)
-    # exit certificate: the reported deviations are a fresh dd evaluation
-    # at the RETURNED iterate, independent of the incremental estimates
-    return x, _deviations(cons, x)
+    # TWO ladder rounds with a full dd/gradient REFRESH between them: with a
+    # large entry deviation (f32-reduced steering leaves ~7e-5 at heat
+    # M=512 vs ~9e-6 dd-steered) one round's frozen-entry model floors at
+    # ~3e-8 — re-entering with fresh D and g lands at ~1e-15 (round-5
+    # probe).  The refresh costs one dd evaluation set (it doubles as the
+    # previous round's exit check) plus m f32 SpMVs for D.
+    g = _deviations(cons, x)
+    for _ in range(max(int(rounds), 1)):
+        D = jnp.stack([c.grad(x) for c in cons])  # (m, n) f32, frozen
+        x_entry = x
+        for window in windows:
+            if window >= n:
+                continue
+            x_new = _newton_step(D, x, g, window)
+            delta = x_new - x  # exact f32 for roundoff-sized updates
+            gnew = []
+            for ci, con in enumerate(cons):
+                t = _dd.dot_f32(_dd.from_f32(D[ci]), delta)
+                if con.M is not None:
+                    md = (con.M @ delta).astype(jnp.float32)
+                    # (M(x−x_entry))·Δ + ½Δ·MΔ = (MΔ)·((x−x_entry) + ½Δ)
+                    t = _dd.add(t, _dd.dot_f32(
+                        _dd.from_f32(md), (x - x_entry) + 0.5 * delta))
+                gnew.append(g[ci] + _dd.to_f64(t))
+            g_new = jnp.stack(gnew)
+            better = (jnp.max(jnp.abs(g_new)) < jnp.max(jnp.abs(g))) \
+                & jnp.all(jnp.isfinite(g_new))
+            x = jnp.where(better, x_new, x)
+            g = jnp.where(better, g_new, g)
+        # fresh dd evaluation: next round's entry AND the exit certificate —
+        # the reported deviations are always measured at the RETURNED
+        # iterate, independent of the incremental estimates
+        g = _deviations(cons, x)
+    return x, g
