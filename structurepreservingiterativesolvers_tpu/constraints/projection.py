@@ -74,8 +74,8 @@ def _window_mask(D: jnp.ndarray, w: int) -> jnp.ndarray:
     return ((idx >= start) & (idx < start + w)).astype(D.dtype)
 
 
-def _newton_step(D, x, g, window: int = 0):
-    """Least-norm Newton candidate: x − Dᵀ(DDᵀ+λI)⁻¹ g, optionally with D
+def _newton_direction(D, x, g, window: int = 0):
+    """Least-norm Newton direction −Dᵀ(DDᵀ+λI)⁻¹ g, optionally with D
     restricted to the strongest aligned window of ``window`` components."""
     from ..solvers.kkt import solve_dense
 
@@ -91,7 +91,10 @@ def _newton_step(D, x, g, window: int = 0):
     alpha = solve_dense(G + lam * jnp.eye(G.shape[0], dtype=G.dtype), -g)
     # cast the (roundoff-sized) coefficients to f32 BEFORE the n-sized work:
     # an f64 α would promote the axpy to emulated f64 on TPU
-    return x + alpha.astype(x.dtype) @ D
+    return alpha.astype(x.dtype) @ D
+
+
+_TAUS = 2.0 ** -jnp.arange(13, dtype=jnp.float64)  # 1, 1/2, …, 2^-12
 
 
 # Shrinking-window ladder (measured, swe M=64..256 f32): the dense stages
@@ -103,7 +106,7 @@ def _newton_step(D, x, g, window: int = 0):
 # concentrates the correction in fewer components (per-component update ≫
 # ulp) while its re-rounding noise shrinks as √w, landing at ~2e-9 absolute
 # (≈7e-14 of the swe energy scale) by w=8.
-_LADDER = (0, 0, 2048, 512, 128, 32, 8)
+_LADDER = (0, 0, 0, 0, 0, 0, 2048, 512, 128, 32, 8)
 
 
 def snap(x: jnp.ndarray, cons: Sequence[QuadraticConstraint],
@@ -140,13 +143,52 @@ def snap(x: jnp.ndarray, cons: Sequence[QuadraticConstraint],
     # previous round's exit check) plus m f32 SpMVs for D.
     g = _deviations(cons, x)
     for _ in range(max(int(rounds), 1)):
-        D = jnp.stack([c.grad(x) for c in cons])  # (m, n) f32, frozen
+        D = jnp.stack([c.grad(x) for c in cons])  # (m, n) f32
         x_entry = x
         for window in windows:
             if window >= n:
                 continue
-            x_new = _newton_step(D, x, g, window)
-            delta = x_new - x  # exact f32 for roundoff-sized updates
+            if window == 0:
+                # REFRESH the gradient before every dense stage (m f32
+                # SpMVs — cheap; the dd deviations stay incremental): with
+                # a strongly curved manifold and a large deviation (heat
+                # M=2048 entry ~0.08) each damped step only contracts ~1.7×
+                # and a stale gradient stalls the descent entirely
+                D = jnp.stack([c.grad(x) for c in cons])
+                x_entry = x
+            dirn = _newton_direction(D, x, g, window)
+            if window == 0:
+                # damped DENSE stage: a full Newton step from a LARGE entry
+                # deviation overshoots the quadratic term (½δᵀMδ ∝ ‖δ‖²)
+                # and the guard rejects every stage — at heat M=2048 the
+                # f32r-steered entry sits at ~0.08 and the undamped ladder
+                # made zero progress (round-5 probe).  The increment along
+                # τ·dirn is EXACTLY quadratic in τ, so the whole
+                # backtracking grid costs one lin/quad computation.  The
+                # windowed trim stages stay undamped: their corrections are
+                # roundoff-sized and the model (which ignores f32
+                # re-rounding) would starve them with tiny τ.
+                lin, quad = [], []
+                for ci, con in enumerate(cons):
+                    l = _dd.dot_f32(_dd.from_f32(D[ci]), dirn)
+                    q = jnp.float64(0.0)
+                    if con.M is not None:
+                        md = (con.M @ dirn).astype(jnp.float32)
+                        l = _dd.add(l, _dd.dot_f32(
+                            _dd.from_f32(md), x - x_entry))
+                        q = 0.5 * _dd.to_f64(
+                            _dd.dot_f32(_dd.from_f32(md), dirn))
+                    lin.append(_dd.to_f64(l))
+                    quad.append(q)
+                lin = jnp.stack(lin)
+                quad = jnp.stack(quad)
+                gmod = (g[None, :] + _TAUS[:, None] * lin[None, :]
+                        + (_TAUS ** 2)[:, None] * quad[None, :])
+                tau = _TAUS[jnp.argmin(jnp.max(jnp.abs(gmod), axis=1))]
+                x_new = x + tau.astype(x.dtype) * dirn
+            else:
+                x_new = x + dirn
+            delta = x_new - x  # exact realised (post-rounding) update
             gnew = []
             for ci, con in enumerate(cons):
                 t = _dd.dot_f32(_dd.from_f32(D[ci]), delta)
